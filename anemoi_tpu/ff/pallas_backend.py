@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernels for the batched Anemoi permutation and Jive.
+
+One kernel invocation runs the ENTIRE permutation (all rounds, including the
+~300-multiply x^(1/alpha) ladder per S-box) for a tile of states resident in
+VMEM -- the TPU-native answer to the reference's scalar permutation loop
+(reference: src/traits.rs:370-378).  HBM traffic per state is just the
+WIDTH*L input limbs and the output limbs; everything else stays on-chip.
+
+Tiling:
+  states arrive as int32[WIDTH*L, N] (limb-major, batch on lanes, Montgomery
+  form); the grid splits N into tiles of `block_b` lanes.  Within the kernel
+  all arithmetic is limb_ops on (L, block_b) register/VMEM values -- 13-bit
+  limbs, int32 accumulation, VPU-only.
+
+Control flow inside the kernel:
+  * rounds: lax.fori_loop, round constants dynamically sliced from a VMEM
+    operand (rounds, 2*cols*L) -- avoids unrolling 21 rounds of ~300 modmuls.
+  * exp ladder: the x^1..x^15 table lives in a VMEM scratch; the fixed
+    base-16 digit string of 1/alpha is scanned with a fori_loop, each step
+    4 squarings + one multiply by a dynamically-sliced table row.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.params import InstanceParams
+from ..ff import limb_ops as lo
+from ..ff.limb_ops import FieldConsts, field_consts
+from ..permutation.batched import round_constant_limbs
+
+DEFAULT_BLOCK_B = 512
+
+
+def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
+    """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
+    L = fc.n_limbs
+    B = x.shape[1]
+
+    # Build table rows x^0..x^15 in the scratch: table_ref[(k*L):(k+1)*L, :].
+    one = jnp.broadcast_to(
+        jnp.asarray(fc.one_mont, dtype=jnp.int32)[:, None], (L, B)
+    )
+    table_ref[0:L, :] = one
+    table_ref[L : 2 * L, :] = x
+    powers = {1: x}
+    cur = x
+    for k in range(2, 16):
+        if k % 2 == 0:
+            cur = lo.mont_sqr(powers[k // 2], fc)
+        else:
+            cur = lo.mont_mul(powers[k - 1], x, fc)
+        powers[k] = cur
+        table_ref[k * L : (k + 1) * L, :] = cur
+
+    digits = fc.inv_alpha_digits
+    first = int(digits[0])
+    acc0 = powers[first] if first > 0 else one
+
+    def body(i, acc):
+        for _ in range(4):
+            acc = lo.mont_sqr(acc, fc)
+        d = digits_ref[i]
+        t = table_ref[pl.ds(d * L, L), :]
+        return lo.mont_mul(acc, t, fc)
+
+    return jax.lax.fori_loop(1, int(digits.shape[0]), body, acc0)
+
+
+def _sbox_layer_kernel(state, cols, fc: FieldConsts, digits_ref, table_ref):
+    """Open Flystel (traits.rs:328-358) with the in-kernel exp ladder."""
+    s = list(state)
+    for i in range(cols):
+        x, y = s[i], s[cols + i]
+        x = lo.sub_mod(x, lo.mul_const(lo.mont_sqr(y, fc), fc.beta_mont, fc), fc)
+        e = _exp_inv_alpha_kernel(x, fc, digits_ref, table_ref)
+        y = lo.sub_mod(y, e, fc)
+        x = lo.add_mod(x, lo.mul_const(lo.mont_sqr(y, fc), fc.beta_mont, fc), fc)
+        x = lo.add_const(x, fc.delta_mont, fc)
+        s[i], s[cols + i] = x, y
+    return s
+
+
+def _mds_layer_kernel(state, cols, fc: FieldConsts):
+    from ..permutation.batched import _mds_layer
+
+    return _mds_layer(state, cols, fc)
+
+
+def _permutation_body(state_parts, inst, fc, cd_ref, digits_ref, table_ref):
+    """Full permutation on a list of WIDTH (L, B) values."""
+    cols = inst.columns
+    L = fc.n_limbs
+
+    def round_body(r, parts):
+        parts = list(parts)
+        cd = cd_ref[pl.ds(r, 1), :]  # (1, 2*cols*L)
+        for i in range(cols):
+            c = cd[0, i * L : (i + 1) * L][:, None]
+            d = cd[0, (cols + i) * L : (cols + i + 1) * L][:, None]
+            parts[i] = lo.add_mod(
+                parts[i], jnp.broadcast_to(c, parts[i].shape), fc
+            )
+            parts[cols + i] = lo.add_mod(
+                parts[cols + i], jnp.broadcast_to(d, parts[cols + i].shape), fc
+            )
+        parts = _mds_layer_kernel(parts, cols, fc)
+        parts = _sbox_layer_kernel(parts, cols, fc, digits_ref, table_ref)
+        return tuple(parts)
+
+    parts = jax.lax.fori_loop(
+        0, inst.rounds, round_body, tuple(state_parts)
+    )
+    return _mds_layer_kernel(list(parts), cols, fc)
+
+
+def _cd_operand(inst: InstanceParams) -> np.ndarray:
+    """Round constants packed as (rounds, 2*cols*L) int32 (Montgomery)."""
+    C, D = round_constant_limbs(inst)  # (rounds, cols, L) each
+    R = inst.rounds
+    return np.concatenate([C.reshape(R, -1), D.reshape(R, -1)], axis=1)
+
+
+def _fconst_operand(fc: FieldConsts) -> np.ndarray:
+    """Per-field constant rows consumed inside the kernel: a Pallas kernel
+    cannot capture array constants, so limb_ops' FieldConsts arrays are
+    rebound to rows of this VMEM operand (see _kernel_fc)."""
+    return np.stack([fc.p_limbs, fc.one_mont, fc.beta_mont, fc.delta_mont])
+
+
+def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
+    return fc._replace(
+        p_limbs=fconst_ref[0, :],
+        one_mont=fconst_ref[1, :],
+        beta_mont=fconst_ref[2, :],
+        delta_mont=fconst_ref[3, :],
+    )
+
+
+def _digits_operand(fc: FieldConsts) -> np.ndarray:
+    return fc.inv_alpha_digits.astype(np.int32)
+
+
+@lru_cache(maxsize=64)
+def permutation_pallas(
+    inst: InstanceParams, block_b: int = DEFAULT_BLOCK_B, interpret: bool = False
+):
+    """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
+
+    N must be a multiple of block_b (pad at the call site).
+    """
+    fc = field_consts(inst.field)
+    L = fc.n_limbs
+    width = inst.width
+    cd = _cd_operand(inst)
+    digits = _digits_operand(fc)
+    fconst = _fconst_operand(fc)
+
+    def kernel(fconst_ref, cd_ref, digits_ref, in_ref, out_ref, table_ref):
+        kfc = _kernel_fc(fc, fconst_ref)
+        parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
+        parts = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
+        for w in range(width):
+            out_ref[w * L : (w + 1) * L, :] = parts[w]
+
+    @jax.jit
+    def run(states):
+        n = states.shape[1]
+        grid = (n // block_b,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((4, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((width * L, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((width * L, n), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((16 * L, block_b), jnp.int32)],
+            interpret=interpret,
+        )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def jive_pallas(
+    inst: InstanceParams,
+    k: int = 2,
+    block_b: int = DEFAULT_BLOCK_B,
+    interpret: bool = False,
+):
+    """Fused batched Jive-k: int32[WIDTH*L, N] -> int32[(WIDTH//k)*L, N].
+
+    Permutation + feed-forward sum in one kernel -- digests never round-trip
+    through HBM as full states (4_3/hasher.rs:161-178).
+    """
+    assert inst.width % k == 0 and k % 2 == 0
+    fc = field_consts(inst.field)
+    L = fc.n_limbs
+    width = inst.width
+    c = width // k
+    cd = _cd_operand(inst)
+    digits = _digits_operand(fc)
+    fconst = _fconst_operand(fc)
+
+    def kernel(fconst_ref, cd_ref, digits_ref, in_ref, out_ref, table_ref):
+        kfc = _kernel_fc(fc, fconst_ref)
+        parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
+        post = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
+        for i in range(c):
+            acc = lo.add_mod(parts[i], post[i], kfc)
+            for j in range(1, k):
+                acc = lo.add_mod(acc, parts[i + c * j], kfc)
+                acc = lo.add_mod(acc, post[i + c * j], kfc)
+            out_ref[i * L : (i + 1) * L, :] = acc
+
+    @jax.jit
+    def run(states):
+        n = states.shape[1]
+        grid = (n // block_b,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((4, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((width * L, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c * L, n), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((16 * L, block_b), jnp.int32)],
+            interpret=interpret,
+        )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+
+    return run

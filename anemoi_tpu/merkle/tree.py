@@ -1,0 +1,135 @@
+"""Batched Merkle-tree construction over Anemoi Jive compression.
+
+The reference provides only the node combiner (`Sponge::merge` /
+`Jive::compress_k`, reference: src/<field>/anemoi_*/hasher.rs); tree
+construction itself is net-new TPU-first design (SURVEY.md section 2.5):
+
+  * a level is a single batched Jive kernel call: children are gathered by
+    strided column slices (child j of node i is column arity*i + j), the
+    whole level reduces in one fused kernel invocation;
+  * levels iterate host-side (log_arity(N) steps), optionally chunked so one
+    compiled kernel shape serves every level;
+  * digests stay in Montgomery limb form end to end -- no domain conversions
+    between levels.
+
+Layout: a level of N digests is int32[L, N] (digest_size == 1 for both
+shipped instantiations).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import InstanceParams
+from ..modes.batched import jive_compress_batch_fn
+
+
+def _level_fn(inst: InstanceParams, arity: int, *, backend: str = "jit"):
+    """Returns f(digests: (L, N)) -> (L, N//arity): one tree level."""
+    assert arity == inst.width, (
+        f"{inst.qualified_name} compresses {inst.width} children per node "
+        f"(jive compress_k(k={inst.width // inst.digest_size}))"
+    )
+    k = inst.width // inst.digest_size
+
+    if backend == "pallas":
+        from ..ff.pallas_backend import jive_pallas
+
+        kernel = jive_pallas(inst, k)
+
+        def level(digests):
+            L, n = digests.shape
+            states = jnp.stack(
+                [digests[:, w::arity] for w in range(arity)], axis=0
+            )  # (arity, L, n//arity)
+            return kernel(states.reshape(arity * L, n // arity))
+
+        return level
+
+    compress = jax.jit(jive_compress_batch_fn(inst, k))
+
+    def level(digests):
+        L, n = digests.shape
+        states = jnp.stack([digests[:, w::arity] for w in range(arity)], axis=0)
+        out = compress(states)  # (1, L, n//arity)
+        return out[0]
+
+    return level
+
+
+class MerkleTree:
+    """Fixed-shape Merkle tree builder for one Anemoi instantiation.
+
+    arity 2 -> anemoi_2_1 (Jive 2-to-1), arity 4 -> anemoi_4_3 (Jive 4-to-1).
+    """
+
+    def __init__(self, inst: InstanceParams, *, backend: str = "jit"):
+        self.inst = inst
+        self.arity = inst.width
+        self.backend = backend
+        self._level = _level_fn(inst, self.arity, backend=backend)
+
+    def num_levels(self, n_leaves: int) -> int:
+        lv = 0
+        while n_leaves > 1:
+            assert n_leaves % self.arity == 0, "leaf count must be a power of arity"
+            n_leaves //= self.arity
+            lv += 1
+        return lv
+
+    def root(self, leaves, *, return_levels: bool = False):
+        """leaves: int32[L, N] Montgomery digests; returns int32[L, 1] root.
+
+        With return_levels=True also returns every intermediate level
+        (the materialization used for proofs and for deterministic restart,
+        SURVEY.md section 5 checkpoint note).
+        """
+        level = leaves
+        levels = [level]
+        for _ in range(self.num_levels(leaves.shape[1])):
+            level = self._level(level)
+            if return_levels:
+                levels.append(level)
+        return (level, levels) if return_levels else level
+
+    def prove(self, levels: list, index: int) -> list:
+        """Merkle authentication path for leaf `index` from materialized
+        levels: [(sibling_digests int32[L, arity-1], child_pos int)] per level."""
+        path = []
+        idx = index
+        for level in levels[:-1]:
+            base = idx - (idx % self.arity)
+            sibs = [
+                np.asarray(level[:, base + j])
+                for j in range(self.arity)
+            ]
+            path.append((np.stack(sibs, axis=1), idx % self.arity))
+            idx //= self.arity
+        return path
+
+    def verify(self, root, leaf, index: int, path: list) -> bool:
+        """Recompute the root from a leaf and its authentication path.
+
+        Scalar-rate host verification (one permutation per level) via the
+        golden model -- proof checking is not a throughput path.
+        """
+        from ..ff import golden
+        from ..ff.limb_ops import decode_ints, encode_ints
+
+        fp = self.inst.field
+        cur = decode_ints(np.asarray(leaf).reshape(-1, 1), fp)[0]
+        idx = index
+        for sibs, pos in path:
+            children = decode_ints(np.asarray(sibs), fp)
+            children[pos] = cur
+            out = golden.jive_compress_k(
+                self.inst, children, self.inst.width // self.inst.digest_size
+            )
+            cur = out[0]
+            idx //= self.arity
+        root_int = decode_ints(np.asarray(root).reshape(-1, 1), fp)[0]
+        return cur == root_int

@@ -1,0 +1,144 @@
+"""Batched Anemoi permutation over (WIDTH, L, B) limb states.
+
+Generic over the instance registry: one code path serves all 7 fields x 2
+instantiations (the reference specializes per field only through constants;
+see src/traits.rs:361-378).  The state is a single int32 array of shape
+(WIDTH, L, B) in Montgomery form: WIDTH field elements of L limbs over a
+batch of B lanes.
+
+Two build modes:
+  * loop mode (default): rounds run under lax.fori_loop and the x^(1/alpha)
+    ladder under a digit loop -- compact XLA graphs for the jit backend.
+  * unrolled mode: everything is straight-line Python-unrolled jnp -- the
+    form consumed by the fused Pallas kernel, where Mosaic wants static
+    slices and no gather.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import InstanceParams, limbs_from_int
+from ..ff import limb_ops as lo
+from ..ff.limb_ops import FieldConsts, field_consts
+
+
+def round_constant_limbs(inst: InstanceParams) -> tuple[np.ndarray, np.ndarray]:
+    """C and D as (rounds, columns, L) Montgomery limb arrays."""
+    fp = inst.field
+    L = fp.n_limbs
+
+    def conv(table):
+        out = np.zeros((inst.rounds, inst.columns, L), dtype=np.int32)
+        for r in range(inst.rounds):
+            for c in range(inst.columns):
+                out[r, c] = limbs_from_int(fp.to_mont(table[r * inst.columns + c]), L)
+        return out
+
+    return conv(inst.C), conv(inst.D)
+
+
+def _ark_layer(state, Cr, Dr, cols, fc: FieldConsts):
+    """state[i] += C[r][i]; state[cols+i] += D[r][i] (traits.rs:113-125).
+
+    Cr/Dr: (cols, L) -- numpy (unrolled mode) or traced rows (loop mode).
+    """
+    parts = list(state)
+    for i in range(cols):
+        c = jnp.asarray(Cr[i], dtype=jnp.int32)[:, None]
+        d = jnp.asarray(Dr[i], dtype=jnp.int32)[:, None]
+        parts[i] = lo.add_mod(parts[i], jnp.broadcast_to(c, parts[i].shape), fc)
+        parts[cols + i] = lo.add_mod(
+            parts[cols + i], jnp.broadcast_to(d, parts[cols + i].shape), fc
+        )
+    return parts
+
+
+def _mul_g(a, fc: FieldConsts):
+    return lo.mul_const(a, fc.beta_mont, fc)
+
+
+def _mds_layer(state, cols, fc: FieldConsts):
+    """Linear layer + PHT (traits.rs:129-157)."""
+    s = list(state)
+    if cols == 1:
+        s[1] = lo.add_mod(s[1], s[0], fc)
+        s[0] = lo.add_mod(s[0], s[1], fc)
+    elif cols == 2:
+        s[0] = lo.add_mod(s[0], _mul_g(s[1], fc), fc)
+        s[1] = lo.add_mod(s[1], _mul_g(s[0], fc), fc)
+        s[3] = lo.add_mod(s[3], _mul_g(s[2], fc), fc)
+        s[2] = lo.add_mod(s[2], _mul_g(s[3], fc), fc)
+        s[2], s[3] = s[3], s[2]
+        s[2] = lo.add_mod(s[2], s[0], fc)
+        s[3] = lo.add_mod(s[3], s[1], fc)
+        s[0] = lo.add_mod(s[0], s[2], fc)
+        s[1] = lo.add_mod(s[1], s[3], fc)
+    else:
+        raise NotImplementedError("reference ships only 1- and 2-column instances")
+    return s
+
+
+def _sbox_layer(state, cols, fc: FieldConsts, *, unroll: bool):
+    """Open Flystel (traits.rs:328-358):
+    x -= g*y^2 ; y -= x^(1/alpha) ; x += g*y^2 + delta."""
+    s = list(state)
+    for i in range(cols):
+        x, y = s[i], s[cols + i]
+        x = lo.sub_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
+        y = lo.sub_mod(y, lo.exp_inv_alpha(x, fc, unroll=unroll), fc)
+        x = lo.add_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
+        x = lo.add_const(x, fc.delta_mont, fc)
+        s[i], s[cols + i] = x, y
+    return s
+
+
+def permutation_fn(inst: InstanceParams, *, unroll: bool = False):
+    """Returns permute(state: (WIDTH, L, B) int32 Montgomery) -> same shape.
+
+    Full permutation = NUM_ROUNDS x (ark -> mds -> sbox) + final mds
+    (traits.rs:370-378).
+    """
+    fc = field_consts(inst.field)
+    cols = inst.columns
+    C, D = round_constant_limbs(inst)
+
+    if unroll:
+
+        def permute(state):
+            parts = [state[i] for i in range(inst.width)]
+            for r in range(inst.rounds):
+                parts = _ark_layer(parts, C[r], D[r], cols, fc)
+                parts = _mds_layer(parts, cols, fc)
+                parts = _sbox_layer(parts, cols, fc, unroll=True)
+            parts = _mds_layer(parts, cols, fc)
+            return jnp.stack(parts, axis=0)
+
+        return permute
+
+    C_arr = jnp.asarray(C)
+    D_arr = jnp.asarray(D)
+
+    def permute(state):
+        def body(r, st):
+            parts = [st[i] for i in range(inst.width)]
+            parts = _ark_layer(parts, C_arr[r], D_arr[r], cols, fc)
+            parts = _mds_layer(parts, cols, fc)
+            parts = _sbox_layer(parts, cols, fc, unroll=False)
+            return jnp.stack(parts, axis=0)
+
+        state = jax.lax.fori_loop(0, inst.rounds, body, state)
+        parts = _mds_layer([state[i] for i in range(inst.width)], cols, fc)
+        return jnp.stack(parts, axis=0)
+
+    return permute
+
+
+@lru_cache(maxsize=64)
+def jit_permutation(inst: InstanceParams):
+    """jit-compiled loop-mode permutation for an instance (cached)."""
+    return jax.jit(permutation_fn(inst, unroll=False))

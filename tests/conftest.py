@@ -11,3 +11,13 @@ os.environ.setdefault(
 )
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+# XLA compile times dominate the limb-kernel tests; cache compiled
+# executables across test runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

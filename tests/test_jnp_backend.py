@@ -1,0 +1,98 @@
+"""jit-compiled batched permutation + modes vs the golden model and the
+reference SAGE vectors.
+
+The default selection keeps XLA compile time in check: vesta (both
+instantiations), bls12_381/2_1 (30-limb, 381-bit), and ed_on_bls12_377/4_3
+(alpha=11, 19/13-round schedule).  Set ANEMOI_FULL_PARITY=1 to sweep all 14
+instantiations.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from anemoi_tpu import instance
+from anemoi_tpu.ff import golden
+from anemoi_tpu.modes import batched as bm
+
+from .vector_loader import load_vectors
+
+DEFAULT = [
+    ("vesta", "anemoi_2_1"),
+    ("vesta", "anemoi_4_3"),
+    ("bls12_381", "anemoi_2_1"),
+    ("ed_on_bls12_377", "anemoi_4_3"),
+]
+if os.environ.get("ANEMOI_FULL_PARITY"):
+    from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
+
+    DEFAULT = [(f, i) for f in FIELD_NAMES for i in INSTANCE_NAMES]
+
+
+@pytest.mark.parametrize("field,iname", DEFAULT)
+def test_permutation_batch_vs_golden(field, iname):
+    inst = instance(field, iname)
+    p = inst.params
+    vec = load_vectors(field, iname)
+    # sbox vectors double as permutation inputs; add a couple of random states
+    states = [list(s) for s in vec["sbox"]["input"]]
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        states.append([int(rng.integers(0, 2**62)) % p.field.p for _ in range(p.width)])
+
+    arr = bm.encode_states(p, states)
+    out = np.asarray(inst.batch.permutation(arr))
+    got = bm.decode_states(p, out)
+    expected = [golden.permutation(p, s) for s in states]
+    assert got == expected
+
+
+@pytest.mark.parametrize("field,iname", DEFAULT)
+def test_jive_batch_vs_vectors(field, iname):
+    inst = instance(field, iname)
+    p = inst.params
+    vec = load_vectors(field, iname)
+    ks = [2, 4]
+    for pair, k in zip(vec["jive"], ks):
+        arr = bm.encode_states(p, pair["input"])
+        out = np.asarray(inst.batch.compress_k(arr, k))
+        got = bm.decode_states(p, out)
+        assert got == pair["output"]
+
+
+@pytest.mark.parametrize("field,iname", DEFAULT)
+def test_sponge_batch_vs_vectors(field, iname):
+    inst = instance(field, iname)
+    p = inst.params
+    vec = load_vectors(field, iname)
+    # group the reference hash vectors by message length; batch each group
+    by_len = {}
+    for elems, expected in zip(vec["hash_field"]["input"], vec["hash_field"]["output"]):
+        by_len.setdefault(len(elems), []).append((elems, expected))
+    # limit compile count: test the two most informative lengths
+    lengths = sorted(by_len)[:2] if len(by_len) > 2 else sorted(by_len)
+    for ln in lengths:
+        group = by_len[ln]
+        msgs = [g[0] for g in group]
+        arr = np.stack(
+            [
+                np.stack([bm.lo.encode_ints([m[e] for m in msgs], p.field) for e in range(ln)])
+            ],
+        )[0]
+        out = np.asarray(inst.batch.hash_field(arr))
+        got = bm.decode_states(p, out)
+        assert got == [g[1] for g in group]
+
+
+def test_merge_batch_vs_golden():
+    inst = instance("vesta", "anemoi_4_3")
+    p = inst.params
+    rng = np.random.default_rng(1)
+    d0 = [[int(rng.integers(0, 2**62))] for _ in range(4)]
+    d1 = [[int(rng.integers(0, 2**62))] for _ in range(4)]
+    a0 = bm.encode_states(p, d0)
+    a1 = bm.encode_states(p, d1)
+    out = np.asarray(inst.batch.merge(a0, a1))
+    got = bm.decode_states(p, out)
+    assert got == [golden.merge(p, x, y) for x, y in zip(d0, d1)]

@@ -1,0 +1,92 @@
+"""int32 limb arithmetic vs Python-int ground truth, across all 7 fields.
+
+These run the jnp ops eagerly on small batches -- cheap, no jit compile --
+and pin down every arithmetic primitive the batched kernels are built from.
+"""
+
+import numpy as np
+import pytest
+
+from anemoi_tpu.ff import limb_ops as lo
+from anemoi_tpu.fields.params import FIELD_NAMES, get_field
+
+
+def _rand_elems(fp, n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        v = 0
+        for _ in range(5):
+            v = (v << 64) | int(rng.integers(0, 2**63))
+        out.append(v % fp.p)
+    # corner cases
+    out[:4] = [0, 1, fp.p - 1, fp.p // 2]
+    return out
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
+def test_mont_mul_sqr(field):
+    fp = get_field(field)
+    fc = lo.field_consts(fp)
+    a = _rand_elems(fp, 8, 1)
+    b = _rand_elems(fp, 8, 2)
+    A, B = lo.encode_ints(a, fp), lo.encode_ints(b, fp)
+    got = lo.decode_ints(np.asarray(lo.mont_mul(A, B, fc)), fp)
+    assert got == [x * y % fp.p for x, y in zip(a, b)]
+    got = lo.decode_ints(np.asarray(lo.mont_sqr(A, fc)), fp)
+    assert got == [x * x % fp.p for x in a]
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
+def test_add_sub_double(field):
+    fp = get_field(field)
+    fc = lo.field_consts(fp)
+    a = _rand_elems(fp, 8, 3)
+    b = _rand_elems(fp, 8, 4)
+    A, B = lo.encode_ints(a, fp), lo.encode_ints(b, fp)
+    assert lo.decode_ints(np.asarray(lo.add_mod(A, B, fc)), fp) == [
+        (x + y) % fp.p for x, y in zip(a, b)
+    ]
+    assert lo.decode_ints(np.asarray(lo.sub_mod(A, B, fc)), fp) == [
+        (x - y) % fp.p for x, y in zip(a, b)
+    ]
+    assert lo.decode_ints(np.asarray(lo.double_mod(A, fc)), fp) == [
+        2 * x % fp.p for x in a
+    ]
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
+def test_domain_conversion_roundtrip(field):
+    fp = get_field(field)
+    fc = lo.field_consts(fp)
+    a = _rand_elems(fp, 8, 5)
+    raw = lo.encode_ints(a, fp, mont=False)
+    m = lo.to_mont(raw, fc)
+    assert lo.decode_ints(np.asarray(m), fp, mont=True) == a
+    back = lo.from_mont(m, fc)
+    assert lo.decode_ints(np.asarray(back), fp, mont=False) == a
+
+
+@pytest.mark.parametrize("field", ["vesta", "bls12_377", "ed_on_bls12_377"])
+def test_exp_inv_alpha(field):
+    import jax
+
+    fp = get_field(field)
+    fc = lo.field_consts(fp)
+    a = _rand_elems(fp, 4, 6)
+    A = lo.encode_ints(a, fp)
+    exp = jax.jit(lambda x: lo.exp_inv_alpha(x, fc))
+    got = lo.decode_ints(np.asarray(exp(A)), fp)
+    assert got == [pow(x, fp.inv_alpha, fp.p) for x in a]
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
+def test_const_ops(field):
+    fp = get_field(field)
+    fc = lo.field_consts(fp)
+    a = _rand_elems(fp, 8, 7)
+    A = lo.encode_ints(a, fp)
+    got = lo.decode_ints(np.asarray(lo.mul_const(A, fc.beta_mont, fc)), fp)
+    assert got == [x * fp.beta % fp.p for x in a]
+    got = lo.decode_ints(np.asarray(lo.add_const(A, fc.delta_mont, fc)), fp)
+    assert got == [(x + fp.delta) % fp.p for x in a]
