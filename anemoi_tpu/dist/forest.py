@@ -27,6 +27,7 @@ def sharded_merkle_root_fn(
     n_leaves: int,
     *,
     backend: str = "jit",
+    chunk_b: int | None = None,
 ):
     """Returns jitted f(leaves: int32[L, n_leaves]) -> int32[L, 1] root.
 
@@ -36,7 +37,8 @@ def sharded_merkle_root_fn(
     """
     axis = mesh.axis_names[-1]
     n_dev = mesh.shape[axis]
-    tree = MerkleTree(inst, backend=backend)
+    chunk_b = chunk_b or max(16, min(2048, n_leaves // n_dev // 2))
+    tree = MerkleTree(inst, backend=backend, chunk_b=chunk_b)
     assert n_leaves % n_dev == 0
     # shard and top-tree shapes must be powers of the arity
     tree.num_levels(n_leaves // n_dev)

@@ -38,17 +38,24 @@ from ..permutation.batched import round_constant_limbs
 DEFAULT_BLOCK_B = 512
 
 
+def _table_stride(L: int) -> int:
+    """Sublane-aligned row stride for the exp table (dynamic slices must
+    start at a multiple of 8 rows for Mosaic)."""
+    return -(-L // 8) * 8
+
+
 def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
     L = fc.n_limbs
+    Ls = _table_stride(L)
     B = x.shape[1]
 
-    # Build table rows x^0..x^15 in the scratch: table_ref[(k*L):(k+1)*L, :].
+    # Build table rows x^0..x^15 at aligned stride: table_ref[k*Ls : k*Ls+L].
     one = jnp.broadcast_to(
         jnp.asarray(fc.one_mont, dtype=jnp.int32)[:, None], (L, B)
     )
     table_ref[0:L, :] = one
-    table_ref[L : 2 * L, :] = x
+    table_ref[Ls : Ls + L, :] = x
     powers = {1: x}
     cur = x
     for k in range(2, 16):
@@ -57,7 +64,7 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
         else:
             cur = lo.mont_mul(powers[k - 1], x, fc)
         powers[k] = cur
-        table_ref[k * L : (k + 1) * L, :] = cur
+        table_ref[k * Ls : k * Ls + L, :] = cur
 
     digits = fc.inv_alpha_digits
     first = int(digits[0])
@@ -67,7 +74,8 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
         for _ in range(4):
             acc = lo.mont_sqr(acc, fc)
         d = digits_ref[i]
-        t = table_ref[pl.ds(d * L, L), :]
+        start = pl.multiple_of(d * Ls, 8)
+        t = table_ref[pl.ds(start, L), :]
         return lo.mont_mul(acc, t, fc)
 
     return jax.lax.fori_loop(1, int(digits.shape[0]), body, acc0)
@@ -187,7 +195,7 @@ def permutation_pallas(
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * L, block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 
@@ -244,7 +252,7 @@ def jive_pallas(
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * L, block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 

@@ -28,35 +28,60 @@ from ..fields.params import InstanceParams
 from ..modes.batched import jive_compress_batch_fn
 
 
-def _level_fn(inst: InstanceParams, arity: int, *, backend: str = "jit"):
-    """Returns f(digests: (L, N)) -> (L, N//arity): one tree level."""
+def _level_fn(
+    inst: InstanceParams,
+    arity: int,
+    *,
+    backend: str = "jit",
+    chunk_b: int | None = None,
+):
+    """Returns f(digests: (L, N)) -> (L, N//arity): one tree level.
+
+    With chunk_b set, every kernel call uses the same fixed batch shape
+    (small levels are zero-padded): one compiled executable serves all
+    log_arity(N) levels of any tree.
+    """
     assert arity == inst.width, (
         f"{inst.qualified_name} compresses {inst.width} children per node "
         f"(jive compress_k(k={inst.width // inst.digest_size}))"
     )
     k = inst.width // inst.digest_size
+    L = inst.field.n_limbs
 
     if backend == "pallas":
-        from ..ff.pallas_backend import jive_pallas
+        from ..ff.pallas_backend import DEFAULT_BLOCK_B, jive_pallas
 
-        kernel = jive_pallas(inst, k)
+        chunk = chunk_b or DEFAULT_BLOCK_B
+        kernel = jive_pallas(inst, k, block_b=min(chunk, 128))
 
-        def level(digests):
-            L, n = digests.shape
-            states = jnp.stack(
-                [digests[:, w::arity] for w in range(arity)], axis=0
-            )  # (arity, L, n//arity)
-            return kernel(states.reshape(arity * L, n // arity))
+        def run_states(flat):  # (arity*L, n_nodes)
+            return kernel(flat)
 
-        return level
+    else:
+        chunk = chunk_b or 2048
+        compress = jax.jit(jive_compress_batch_fn(inst, k))
 
-    compress = jax.jit(jive_compress_batch_fn(inst, k))
+        def run_states(flat):
+            n = flat.shape[-1]
+            return compress(flat.reshape(arity, L, n))[0]
 
     def level(digests):
-        L, n = digests.shape
+        n = digests.shape[-1]
+        n_nodes = n // arity
         states = jnp.stack([digests[:, w::arity] for w in range(arity)], axis=0)
-        out = compress(states)  # (1, L, n//arity)
-        return out[0]
+        flat = states.reshape(arity * L, n_nodes)
+        if n_nodes % chunk == 0:
+            chunks = [flat[:, c * chunk : (c + 1) * chunk] for c in range(n_nodes // chunk)]
+        else:
+            pad = chunk - (n_nodes % chunk)
+            flat = jnp.pad(flat, ((0, 0), (0, pad)))
+            chunks = [
+                flat[:, c * chunk : (c + 1) * chunk]
+                for c in range((n_nodes + pad) // chunk)
+            ]
+        outs = [run_states(c) for c in chunks]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+        return out[:, :n_nodes]
 
     return level
 
@@ -67,11 +92,17 @@ class MerkleTree:
     arity 2 -> anemoi_2_1 (Jive 2-to-1), arity 4 -> anemoi_4_3 (Jive 4-to-1).
     """
 
-    def __init__(self, inst: InstanceParams, *, backend: str = "jit"):
+    def __init__(
+        self,
+        inst: InstanceParams,
+        *,
+        backend: str = "jit",
+        chunk_b: int | None = None,
+    ):
         self.inst = inst
         self.arity = inst.width
         self.backend = backend
-        self._level = _level_fn(inst, self.arity, backend=backend)
+        self._level = _level_fn(inst, self.arity, backend=backend, chunk_b=chunk_b)
 
     def num_levels(self, n_leaves: int) -> int:
         lv = 0

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: Vesta Anemoi-2-1 Jive 2-to-1 compressions/sec/chip.
+
+Runs the fused Pallas kernel on the attached TPU (or the jit path on CPU),
+with a forced device sync per repetition (a scalar checksum is fetched, so
+async dispatch cannot inflate the rate).
+
+Prints ONE json line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is against the reference's single-core Rust rate for the same
+op: 129.48 us per 2-to-1 Vesta compression (BASELINE.md, reference
+README.md:78) = 7723 hashes/s.
+
+Extra diagnostics go to stderr; pass --all for a multi-config sweep.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REFERENCE_RATE = 1.0 / 129.48e-6  # reference Vesta 2_1 Jive 2-to-1, 1 CPU core
+
+
+def _timed(fn, arg, reps):
+    """Median wall time with forced synchronization via scalar fetch."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(arg))  # scalar checksum -> forces full execution
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=128, reps=3):
+    from anemoi_tpu.fields.params import get_instance
+
+    inst = get_instance(field, iname)
+    L = inst.field.n_limbs
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        from anemoi_tpu.ff.pallas_backend import jive_pallas
+
+        kern = jive_pallas(inst, 2, block_b=block)
+    else:
+        from anemoi_tpu.modes.batched import jive_compress_batch_fn
+
+        n = min(n, 1 << 14)
+        jfn = jive_compress_batch_fn(inst, 2)
+        kern = lambda x: jfn(x.reshape(inst.width, L, -1))
+
+    rng = np.random.default_rng(0)
+    # random 13-bit limb states are valid Montgomery-domain field elements
+    # with overwhelming probability for timing purposes; correctness is
+    # pinned by the test suite, not the bench.
+    flat = jax.device_put(
+        jnp.asarray(
+            rng.integers(0, 1 << 12, size=(inst.width * L, n), dtype=np.int32)
+        )
+    )
+    run = jax.jit(lambda x: jnp.sum(kern(x)))
+    t0 = time.perf_counter()
+    np.asarray(run(flat))
+    print(f"[bench] compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    dt = _timed(run, flat, reps)
+    return n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
+    args = ap.parse_args()
+
+    rate = bench_jive(n=args.n, block=args.block, reps=args.reps)
+
+    if args.all:
+        for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1")]:
+            try:
+                r = bench_jive(field, iname, n=args.n // 4, block=args.block, reps=2)
+                print(f"[bench] {field}/{iname} jive: {r:,.0f}/s", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"[bench] {field}/{iname} failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "vesta_anemoi_2_1_jive_2to1_hashes_per_sec_per_chip",
+                "value": round(rate, 1),
+                "unit": "hashes/s",
+                "vs_baseline": round(rate / REFERENCE_RATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Pallas kernel parity.
+
+On a TPU backend the fused kernels run natively; on CPU they run in
+interpreter mode, which is slow (~minutes) and therefore opt-in via
+ANEMOI_PALLAS_INTERPRET=1.  TPU-side parity is additionally exercised by
+tools/verify_tpu.py and was verified bit-exact on TPU v5e.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from anemoi_tpu.ff import golden
+from anemoi_tpu.fields.params import get_instance
+from anemoi_tpu.modes import batched as bm
+
+ON_TPU = jax.default_backend() not in ("cpu",)
+INTERPRET = not ON_TPU
+
+pytestmark = pytest.mark.skipif(
+    not ON_TPU and not os.environ.get("ANEMOI_PALLAS_INTERPRET"),
+    reason="pallas interpret mode on CPU is slow; set ANEMOI_PALLAS_INTERPRET=1",
+)
+
+
+@pytest.mark.parametrize("field,iname", [("vesta", "anemoi_2_1")])
+def test_pallas_permutation_and_jive(field, iname):
+    from anemoi_tpu.ff import pallas_backend as pb
+
+    inst = get_instance(field, iname)
+    B = 128
+    rng = np.random.default_rng(0)
+    states = [
+        [int(rng.integers(0, 2**62)) for _ in range(inst.width)] for _ in range(B)
+    ]
+    arr = bm.encode_states(inst, states)
+    flat = arr.reshape(-1, B)
+
+    run = pb.permutation_pallas(inst, block_b=128, interpret=INTERPRET)
+    out = np.asarray(run(flat)).reshape(inst.width, -1, B)
+    assert bm.decode_states(inst, out) == [golden.permutation(inst, s) for s in states]
+
+    runj = pb.jive_pallas(inst, 2, block_b=128, interpret=INTERPRET)
+    outj = np.asarray(runj(flat)).reshape(1, -1, B)
+    got = bm.decode_states(inst, outj)
+    assert got == [golden.jive_compress(inst, s) for s in states]
