@@ -29,6 +29,11 @@ def exp_inv_alpha(fp: FieldParams, x: int) -> int:
     return pow(x, fp.inv_alpha, fp.p)
 
 
+def exp_alpha(fp: FieldParams, x: int) -> int:
+    """Forward S-box power map x^alpha (traits.rs:94-104)."""
+    return pow(x, fp.alpha, fp.p)
+
+
 def ark_layer(inst: InstanceParams, state: list[int], r: int) -> list[int]:
     """state[i] += C[r][i]; state[cols+i] += D[r][i]  (traits.rs:113-125)."""
     p = inst.field.p

@@ -181,7 +181,31 @@ def _sweep_keep_top(T):
     return jnp.concatenate([out[:-1], top], axis=0)
 
 
-def mont_mul(a, b, fc: FieldConsts):
+def _finish(T, fc: FieldConsts, lazy: bool):
+    """Exact normalization of the (L+1, B) CIOS accumulator.
+
+    The accumulated value is < 2p and -- because every field reserves at
+    least two spare bits in its limb budget (n_limbs = ceil((bits+2)/13)) --
+    2p < 2^(13L), so the exact carry chain leaves the top row at zero and
+    the canonical digits fit L rows.
+
+    lazy=True returns the value < 2p as-is (canonical digits, possibly >= p):
+    valid as input to further Montgomery products since 4p <= R, saving the
+    conditional-subtract.  lazy=False folds the value into [0, p).
+    """
+    L = fc.n_limbs
+    z, _carry = _carry_chain([T[i] for i in range(L + 1)])
+    if lazy:
+        return _stack(z[:L])
+    return _cond_sub_p(z[:L], None, fc)
+
+
+def canonicalize(a, fc: FieldConsts):
+    """Fold a lazy-domain value (< 2p, canonical digits) into [0, p)."""
+    return _cond_sub_p(_rows(a), None, fc)
+
+
+def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     """Montgomery product a*b*R^-1 mod p on (L, B) int32 limb arrays.
 
     CIOS (coarsely-integrated operand scanning) over 13-bit digits: one pass
@@ -190,6 +214,10 @@ def mont_mul(a, b, fc: FieldConsts):
     folded into the new bottom row).  All row operations are aligned or
     static single-row shifts -- no scatter, no dynamic slicing -- which is
     what the Mosaic TPU compiler can lower.
+
+    Inputs may be in the lazy domain (< 2p, canonical digits); the output is
+    < 2p with lazy=True, < p otherwise.  Requires 4p <= R = 2^(13L), which
+    the limb budget guarantees for every registered field.
 
     Overflow bound: each pass adds a_i*b + m_i*p < 2^27 per column; a partial
     carry sweep every _SWEEP_EVERY passes keeps columns below
@@ -214,19 +242,45 @@ def mont_mul(a, b, fc: FieldConsts):
         )
         if (i + 1) % _SWEEP_EVERY == 0 and i + 1 < L:
             T = _sweep_keep_top(T)
-
-    # T now holds a*b*R^-1 + k*p < 2p over L+1 columns (top in {0,1} after
-    # exact normalization).
-    z, carry = _carry_chain([T[i] for i in range(L + 1)])
-    top = z[L] + carry
-    return _cond_sub_p(z[:L], top, fc)
+    return _finish(T, fc, lazy)
 
 
-def mont_sqr(a, fc: FieldConsts):
-    """Montgomery squaring.  Currently an alias of mont_mul(a, a); the
-    symmetric-convolution optimization (~40% fewer limb products) is a
-    planned kernel improvement once the CIOS pipeline is profiled."""
-    return mont_mul(a, a, fc)
+def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
+    """Montgomery squaring via symmetric CIOS: pass i multiplies a_i only by
+    a[i:], doubling the off-diagonal terms -- ~45% fewer limb products than
+    mont_mul(a, a).
+
+    Placement: at pass i (after i shift-downs) the product a_i*a_j belongs
+    at relative row j, so the slice lands at rows [i, L) -- a static
+    two-piece concatenate, still Mosaic-friendly.
+
+    Overflow: doubled products add < 3*2^26 per column per pass, so the
+    _SWEEP_EVERY=4 cadence stays below 2^14 + 12*2^26 < 2^30.5.
+    """
+    L = fc.n_limbs
+    B = a.shape[1:]
+    n0 = jnp.int32(fc.n0_inv)
+    p_col = _col(fc.p_limbs)
+    T = jnp.zeros((L + 1, *B), dtype=jnp.int32)
+    for i in range(L):
+        prod = a[i] * a[i:]  # (L-i, B): diagonal + upper terms
+        low = T[:L]
+        # rows [i, L): + prod, and + prod again for the off-diagonal rows
+        head = low[i:] + prod
+        if i + 1 < L:
+            head = jnp.concatenate([head[:1], head[1:] + prod[1:]], axis=0)
+        low = head if i == 0 else jnp.concatenate([low[:i], head], axis=0)
+        m = ((low[0] & LIMB_MASK) * n0) & LIMB_MASK
+        low = low + m * p_col
+        carry0 = low[0:1] >> LIMB_BITS
+        T = jnp.concatenate(
+            [low[1:2] + carry0, low[2:], T[L : L + 1],
+             jnp.zeros((1, *B), dtype=jnp.int32)],
+            axis=0,
+        )
+        if (i + 1) % _SWEEP_EVERY == 0 and i + 1 < L:
+            T = _sweep_keep_top(T)
+    return _finish(T, fc, lazy)
 
 
 # --------------------------------------------------------------------------
@@ -271,38 +325,40 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     Replaces the reference's hand-derived per-field addition chains
     (reference: src/<field>/sbox.rs exp_by_inv_alpha).
     """
-    # table[k] = x^k in Montgomery form, k = 0..15
+    # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
+    # the lazy [0, 2p) domain, canonicalized once at the end.
     one = jnp.broadcast_to(_col(fc.one_mont), x.shape)
-    x2 = mont_sqr(x, fc)
+    x2 = mont_sqr(x, fc, lazy=True)
     table = [one, x, x2]
     for k in range(3, 16):
         if k % 2 == 0:
-            table.append(mont_sqr(table[k // 2], fc))
+            table.append(mont_sqr(table[k // 2], fc, lazy=True))
         else:
-            table.append(mont_mul(table[k - 1], x, fc))
+            table.append(mont_mul(table[k - 1], x, fc, lazy=True))
 
     digits = fc.inv_alpha_digits
     if unroll:
         acc = table[int(digits[0])]
         for d in digits[1:].tolist():
             for _ in range(4):
-                acc = mont_sqr(acc, fc)
+                acc = mont_sqr(acc, fc, lazy=True)
             if d:
-                acc = mont_mul(acc, table[d], fc)
-        return acc
+                acc = mont_mul(acc, table[d], fc, lazy=True)
+        return canonicalize(acc, fc)
 
     table_arr = jnp.stack(table, axis=0)  # (16, L, B)
     digits_arr = jnp.asarray(digits)
 
     def body(i, acc):
         for _ in range(4):
-            acc = mont_sqr(acc, fc)
+            acc = mont_sqr(acc, fc, lazy=True)
         d = digits_arr[i]
         t = jax.lax.dynamic_index_in_dim(table_arr, d, axis=0, keepdims=False)
-        return mont_mul(acc, t, fc)
+        return mont_mul(acc, t, fc, lazy=True)
 
     acc = table_arr[int(digits[0])]
-    return jax.lax.fori_loop(1, digits.shape[0], body, acc)
+    acc = jax.lax.fori_loop(1, digits.shape[0], body, acc)
+    return canonicalize(acc, fc)
 
 
 # --------------------------------------------------------------------------

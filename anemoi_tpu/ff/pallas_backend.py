@@ -60,9 +60,9 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     cur = x
     for k in range(2, 16):
         if k % 2 == 0:
-            cur = lo.mont_sqr(powers[k // 2], fc)
+            cur = lo.mont_sqr(powers[k // 2], fc, lazy=True)
         else:
-            cur = lo.mont_mul(powers[k - 1], x, fc)
+            cur = lo.mont_mul(powers[k - 1], x, fc, lazy=True)
         powers[k] = cur
         table_ref[k * Ls : k * Ls + L, :] = cur
 
@@ -72,13 +72,14 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
 
     def body(i, acc):
         for _ in range(4):
-            acc = lo.mont_sqr(acc, fc)
+            acc = lo.mont_sqr(acc, fc, lazy=True)
         d = digits_ref[i]
         start = pl.multiple_of(d * Ls, 8)
         t = table_ref[pl.ds(start, L), :]
-        return lo.mont_mul(acc, t, fc)
+        return lo.mont_mul(acc, t, fc, lazy=True)
 
-    return jax.lax.fori_loop(1, int(digits.shape[0]), body, acc0)
+    acc = jax.lax.fori_loop(1, int(digits.shape[0]), body, acc0)
+    return lo.canonicalize(acc, fc)
 
 
 def _sbox_layer_kernel(state, cols, fc: FieldConsts, digits_ref, table_ref):

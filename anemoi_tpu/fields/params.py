@@ -68,8 +68,11 @@ class FieldParams:
     # --- limb/Montgomery derived quantities -------------------------------
     @property
     def n_limbs(self) -> int:
-        # R = 2^(13*L) must exceed p
-        return -(-self.bits // LIMB_BITS)
+        # Limb budget reserves two spare bits (4p <= R = 2^(13L)) so the
+        # kernels can keep intermediate values in a lazy [0, 2p) domain
+        # without conditional subtraction (see ff/limb_ops.py).
+        # 253..255-bit fields -> 20 limbs; 377/381-bit -> 30 limbs.
+        return -(-(self.bits + 2) // LIMB_BITS)
 
     @property
     def R(self) -> int:

@@ -65,6 +65,18 @@ class AnemoiInstance:
     def permutation(self, state: list) -> list:
         return golden.permutation(self.params, state)
 
+    def round(self, state: list, round_ctr: int) -> list:
+        return golden.round_fn(self.params, state, round_ctr)
+
+    def ark_layer(self, state: list, round_ctr: int) -> list:
+        return golden.ark_layer(self.params, state, round_ctr)
+
+    def mds_layer(self, state: list) -> list:
+        return golden.mds_layer(self.params, state)
+
+    def sbox_layer(self, state: list) -> list:
+        return golden.sbox_layer(self.params, state)
+
     def hash(self, data: bytes) -> Digest:
         return Digest(tuple(golden.hash_bytes(self.params, data)), self)
 

@@ -112,19 +112,39 @@ class MerkleTree:
             lv += 1
         return lv
 
-    def root(self, leaves, *, return_levels: bool = False):
+    def root(self, leaves, *, return_levels: bool = False, checkpoint_dir=None):
         """leaves: int32[L, N] Montgomery digests; returns int32[L, 1] root.
 
         With return_levels=True also returns every intermediate level
-        (the materialization used for proofs and for deterministic restart,
-        SURVEY.md section 5 checkpoint note).
+        (the materialization used for proofs).  With checkpoint_dir set,
+        each completed level is persisted (np.save) and a restart resumes
+        from the deepest completed level -- levels are pure functions of the
+        leaves, so recovery is deterministic (SURVEY.md section 5).
         """
+        import pathlib
+
         level = leaves
         levels = [level]
-        for _ in range(self.num_levels(leaves.shape[1])):
+        n_levels = self.num_levels(int(leaves.shape[1]))
+        start = 0
+        if checkpoint_dir is not None:
+            ckpt = pathlib.Path(checkpoint_dir)
+            ckpt.mkdir(parents=True, exist_ok=True)
+            for lv in range(n_levels, 0, -1):
+                f = ckpt / f"level_{lv}.npy"
+                if f.exists():
+                    level = np.load(f)
+                    start = lv
+                    break
+        for lv in range(start, n_levels):
             level = self._level(level)
             if return_levels:
                 levels.append(level)
+            if checkpoint_dir is not None:
+                np.save(
+                    pathlib.Path(checkpoint_dir) / f"level_{lv + 1}.npy",
+                    np.asarray(level),
+                )
         return (level, levels) if return_levels else level
 
     def prove(self, levels: list, index: int) -> list:

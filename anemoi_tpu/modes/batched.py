@@ -89,16 +89,34 @@ def merge_batch_fn(inst: InstanceParams, *, unroll: bool = False):
     return merge
 
 
-def sponge_hash_batch_fn(inst: InstanceParams, num_elements: int):
+def sponge_hash_batch_fn(
+    inst: InstanceParams,
+    num_elements: int,
+    *,
+    backend: str = "jit",
+    block_b: int = 128,
+):
     """Returns f(elems: (E, L, B)) -> (DIGEST, L, B) for fixed message length E.
 
     Absorb adds each element into the rate and permutes per filled rate
     block; sigma/padding finalization per the reference (hasher.rs:92-128).
     The rate-block loop runs under lax.scan so long messages keep a compact
-    compiled graph.
+    compiled graph.  backend="pallas" swaps in the fused TPU permutation
+    kernel (B must then be a multiple of block_b).
     """
     fc = field_consts(inst.field)
-    permute = permutation_fn(inst, unroll=False)
+    L = inst.field.n_limbs
+    if backend == "pallas":
+        from ..ff.pallas_backend import permutation_pallas
+
+        kern = permutation_pallas(inst, block_b=block_b)
+
+        def permute(state):  # (W, L, B)
+            B = state.shape[-1]
+            return kern(state.reshape(-1, B)).reshape(inst.width, L, B)
+
+    else:
+        permute = permutation_fn(inst, unroll=False)
     rate = inst.rate
     E = num_elements
 

@@ -77,6 +77,53 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=128, reps=3):
     return n / dt
 
 
+def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=128, reps=2):
+    """10KB-message sponge hashing (reference: 20.307 ms/msg single core)."""
+    from anemoi_tpu.fields.params import get_instance
+    from anemoi_tpu.modes.batched import sponge_hash_batch_fn
+
+    inst = get_instance(field, iname)
+    L = inst.field.n_limbs
+    E = -(-10240 // inst.field.byte_chunk)  # elements per 10KB message
+    on_tpu = jax.default_backend() != "cpu"
+    fn = sponge_hash_batch_fn(
+        inst, E, backend="pallas" if on_tpu else "jit", block_b=block
+    )
+    if not on_tpu:
+        n_msgs = min(n_msgs, 64)
+    rng = np.random.default_rng(0)
+    elems = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 12, size=(E, L, n_msgs), dtype=np.int32))
+    )
+    run = jax.jit(lambda x: jnp.sum(fn(x)))
+    np.asarray(run(elems))
+    dt = _timed(run, elems, reps)
+    return n_msgs / dt
+
+
+def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=128, reps=2):
+    """Merkle tree root over n_leaves on one chip (leaves/sec)."""
+    from anemoi_tpu.fields.params import get_instance
+    from anemoi_tpu.merkle.tree import MerkleTree
+
+    inst = get_instance(field, iname)
+    L = inst.field.n_limbs
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        n_leaves = min(n_leaves, 1 << 10)
+    tree = MerkleTree(
+        inst, backend="pallas" if on_tpu else "jit", chunk_b=1 << 14 if on_tpu else 256
+    )
+    rng = np.random.default_rng(0)
+    leaves = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 12, size=(L, n_leaves), dtype=np.int32))
+    )
+    run = jax.jit(lambda x: jnp.sum(tree.root(x)))
+    np.asarray(run(leaves))
+    dt = _timed(run, leaves, reps)
+    return n_leaves / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
@@ -94,6 +141,21 @@ def main():
                 print(f"[bench] {field}/{iname} jive: {r:,.0f}/s", file=sys.stderr)
             except Exception as e:  # pragma: no cover
                 print(f"[bench] {field}/{iname} failed: {e}", file=sys.stderr)
+        try:
+            r = bench_sponge_10kb(block=args.block)
+            print(
+                f"[bench] vesta/anemoi_4_3 10KB sponge: {r:,.1f} msgs/s "
+                f"({r * 10240 / 1e6:,.1f} MB/s; reference 1-core: 49.2 msgs/s)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] sponge failed: {e}", file=sys.stderr)
+        try:
+            r = bench_merkle(block=args.block)
+            print(f"[bench] vesta/anemoi_2_1 merkle 2^20 leaves: {r:,.0f} leaves/s",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] merkle failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -1,0 +1,22 @@
+"""Native-packed batched byte hashing vs the golden byte-sponge path."""
+
+import numpy as np
+import pytest
+
+from anemoi_tpu.ff import golden
+from anemoi_tpu.fields.params import get_instance
+from anemoi_tpu.modes import batched as bm
+
+pytest.importorskip("anemoi_tpu.ff.native")
+
+from anemoi_tpu.modes.bytes_pipeline import hash_bytes_batch  # noqa: E402
+
+
+@pytest.mark.parametrize("field,iname", [("vesta", "anemoi_4_3")])
+def test_hash_bytes_batch_matches_golden(field, iname):
+    inst = get_instance(field, iname)
+    rng = np.random.default_rng(0)
+    msgs = [bytes(rng.integers(0, 256, size=100, dtype=np.uint8).tolist()) for _ in range(4)]
+    out = np.asarray(hash_bytes_batch(inst, msgs))
+    got = bm.decode_states(inst, out)
+    assert got == [golden.hash_bytes(inst, m) for m in msgs]
