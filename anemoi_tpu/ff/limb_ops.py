@@ -165,7 +165,7 @@ def double_mod(a, fc: FieldConsts):
 # --------------------------------------------------------------------------
 
 
-_SWEEP_EVERY = 4  # iterations between partial carry sweeps (see bound below)
+_SWEEP_EVERY = 6  # iterations between partial carry sweeps (bounds in mont_mul/sqr)
 
 
 def _sweep_keep_top(T):
@@ -182,27 +182,33 @@ def _sweep_keep_top(T):
 
 
 def _finish(T, fc: FieldConsts, lazy: bool):
-    """Exact normalization of the (L+1, B) CIOS accumulator.
+    """Normalization of the (L+1, B) CIOS accumulator (value < 2p).
 
-    The accumulated value is < 2p and -- because every field reserves at
-    least two spare bits in its limb budget (n_limbs = ceil((bits+2)/13)) --
-    2p < 2^(13L), so the exact carry chain leaves the top row at zero and
-    the canonical digits fit L rows.
+    lazy=True: two vectorized partial sweeps bound every digit by
+    2^13 + 2^4 -- no sequential carry chain at all.  Because all rows are
+    nonnegative and the value is < 2p < 2^(13L) (the limb budget reserves
+    two spare bits), the top row is provably zero afterwards and is
+    dropped.  The result is a relaxed-digit representation of a value
+    < 2p: valid input for further Montgomery products (4p <= R) and for
+    `canonicalize`.
 
-    lazy=True returns the value < 2p as-is (canonical digits, possibly >= p):
-    valid as input to further Montgomery products since 4p <= R, saving the
-    conditional-subtract.  lazy=False folds the value into [0, p).
+    lazy=False: exact carry chain then conditional subtract -> [0, p),
+    canonical digits.
     """
     L = fc.n_limbs
-    z, _carry = _carry_chain([T[i] for i in range(L + 1)])
     if lazy:
-        return _stack(z[:L])
+        T = _sweep_keep_top(_sweep_keep_top(T))
+        return T[:L]
+    z, _carry = _carry_chain([T[i] for i in range(L + 1)])
     return _cond_sub_p(z[:L], None, fc)
 
 
 def canonicalize(a, fc: FieldConsts):
-    """Fold a lazy-domain value (< 2p, canonical digits) into [0, p)."""
-    return _cond_sub_p(_rows(a), None, fc)
+    """Fold a lazy-domain value (< 2p, relaxed digits <= 2^13 + 2^4) into
+    [0, p) with canonical digits: exact chain + conditional subtract."""
+    z, carry = _carry_chain(_rows(a))
+    # digits were relaxed, but the value < 2p < 2^(13L): no carry out
+    return _cond_sub_p(z, carry, fc)
 
 
 def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):

@@ -83,14 +83,28 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
 
 
 def _sbox_layer_kernel(state, cols, fc: FieldConsts, digits_ref, table_ref):
-    """Open Flystel (traits.rs:328-358) with the in-kernel exp ladder."""
+    """Open Flystel (traits.rs:328-358) with the in-kernel exp ladder.
+
+    All columns are folded into one ladder call along the batch axis: the
+    ladder's sequential dependency chain (the dominant latency) runs once
+    per round instead of once per column.
+    """
     s = list(state)
+    B = s[0].shape[1]
+    xs = []
     for i in range(cols):
-        x, y = s[i], s[cols + i]
-        x = lo.sub_mod(x, lo.mul_const(lo.mont_sqr(y, fc), fc.beta_mont, fc), fc)
-        e = _exp_inv_alpha_kernel(x, fc, digits_ref, table_ref)
-        y = lo.sub_mod(y, e, fc)
-        x = lo.add_mod(x, lo.mul_const(lo.mont_sqr(y, fc), fc.beta_mont, fc), fc)
+        x = lo.sub_mod(
+            s[i], lo.mul_const(lo.mont_sqr(s[cols + i], fc), fc.beta_mont, fc), fc
+        )
+        xs.append(x)
+    xcat = xs[0] if cols == 1 else jnp.concatenate(xs, axis=1)
+    ecat = _exp_inv_alpha_kernel(xcat, fc, digits_ref, table_ref)
+    for i in range(cols):
+        e = ecat if cols == 1 else ecat[:, i * B : (i + 1) * B]
+        y = lo.sub_mod(s[cols + i], e, fc)
+        x = lo.add_mod(
+            xs[i], lo.mul_const(lo.mont_sqr(y, fc), fc.beta_mont, fc), fc
+        )
         x = lo.add_const(x, fc.delta_mont, fc)
         s[i], s[cols + i] = x, y
     return s
@@ -196,7 +210,7 @@ def permutation_pallas(
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 
@@ -253,7 +267,7 @@ def jive_pallas(
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 

@@ -52,7 +52,7 @@ def _level_fn(
         from ..ff.pallas_backend import DEFAULT_BLOCK_B, jive_pallas
 
         chunk = chunk_b or DEFAULT_BLOCK_B
-        kernel = jive_pallas(inst, k, block_b=min(chunk, 128))
+        kernel = jive_pallas(inst, k, block_b=min(chunk, 512))
 
         def run_states(flat):  # (arity*L, n_nodes)
             return kernel(flat)

@@ -85,13 +85,22 @@ def _mds_layer(state, cols, fc: FieldConsts):
 
 def _sbox_layer(state, cols, fc: FieldConsts, *, unroll: bool):
     """Open Flystel (traits.rs:328-358):
-    x -= g*y^2 ; y -= x^(1/alpha) ; x += g*y^2 + delta."""
+    x -= g*y^2 ; y -= x^(1/alpha) ; x += g*y^2 + delta.
+
+    The x^(1/alpha) ladder runs once over all columns (folded along the
+    batch axis): its sequential chain is the dominant latency."""
     s = list(state)
+    B = s[0].shape[-1]
+    xs = [
+        lo.sub_mod(s[i], _mul_g(lo.mont_sqr(s[cols + i], fc), fc), fc)
+        for i in range(cols)
+    ]
+    xcat = xs[0] if cols == 1 else jnp.concatenate(xs, axis=-1)
+    ecat = lo.exp_inv_alpha(xcat, fc, unroll=unroll)
     for i in range(cols):
-        x, y = s[i], s[cols + i]
-        x = lo.sub_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
-        y = lo.sub_mod(y, lo.exp_inv_alpha(x, fc, unroll=unroll), fc)
-        x = lo.add_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
+        e = ecat if cols == 1 else ecat[..., i * B : (i + 1) * B]
+        y = lo.sub_mod(s[cols + i], e, fc)
+        x = lo.add_mod(xs[i], _mul_g(lo.mont_sqr(y, fc), fc), fc)
         x = lo.add_const(x, fc.delta_mont, fc)
         s[i], s[cols + i] = x, y
     return s

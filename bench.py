@@ -43,7 +43,7 @@ def _timed(fn, arg, reps):
     return float(np.median(times))
 
 
-def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=128, reps=3):
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3):
     from anemoi_tpu.fields.params import get_instance
 
     inst = get_instance(field, iname)
@@ -77,7 +77,7 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=128, reps=3):
     return n / dt
 
 
-def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=128, reps=2):
+def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=512, reps=2):
     """10KB-message sponge hashing (reference: 20.307 ms/msg single core)."""
     from anemoi_tpu.fields.params import get_instance
     from anemoi_tpu.modes.batched import sponge_hash_batch_fn
@@ -101,7 +101,7 @@ def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=128,
     return n_msgs / dt
 
 
-def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=128, reps=2):
+def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=512, reps=2):
     """Merkle tree root over n_leaves on one chip (leaves/sec)."""
     from anemoi_tpu.fields.params import get_instance
     from anemoi_tpu.merkle.tree import MerkleTree
@@ -127,7 +127,7 @@ def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=128,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
-    ap.add_argument("--block", type=int, default=128)
+    ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
     args = ap.parse_args()

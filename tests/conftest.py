@@ -4,10 +4,16 @@ from pathlib import Path
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh.  These flags
 # must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# The test suite always runs on CPU (the environment may point JAX at a
+# tunneled TPU via JAX_PLATFORMS=axon -- tests must not contend for it).
+# 8 virtual devices serve the sharding tests; optimization level 0 ~halves
+# XLA CPU compile time of the big limb-kernel graphs (tests check
+# exactness, not speed).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_backend_optimization_level=0"
 )
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

@@ -21,7 +21,6 @@ from .vector_loader import load_vectors
 DEFAULT = [
     ("vesta", "anemoi_2_1"),
     ("vesta", "anemoi_4_3"),
-    ("bls12_381", "anemoi_2_1"),
     ("ed_on_bls12_377", "anemoi_4_3"),
 ]
 if os.environ.get("ANEMOI_FULL_PARITY"):
@@ -70,8 +69,10 @@ def test_sponge_batch_vs_vectors(field, iname):
     by_len = {}
     for elems, expected in zip(vec["hash_field"]["input"], vec["hash_field"]["output"]):
         by_len.setdefault(len(elems), []).append((elems, expected))
-    # limit compile count: test the two most informative lengths
-    lengths = sorted(by_len)[:2] if len(by_len) > 2 else sorted(by_len)
+    # limit compile count: one length by default, all under ANEMOI_FULL_PARITY
+    lengths = sorted(by_len)
+    if not os.environ.get("ANEMOI_FULL_PARITY"):
+        lengths = lengths[-1:]
     for ln in lengths:
         group = by_len[ln]
         msgs = [g[0] for g in group]
