@@ -61,10 +61,13 @@ class FieldConsts(NamedTuple):
     beta_mont: np.ndarray  # (L,) beta in Montgomery form
     delta_mont: np.ndarray  # (L,) delta in Montgomery form
     inv_alpha_digits: np.ndarray  # (n_windows,) base-16 digits, MSB first
+    pprime_limbs: np.ndarray  # (L,) digits of -p^-1 mod R
+    mul_impl: str = "cios"  # "cios" (serial digit recurrence) | "parallel"
 
 
-def field_consts(fp: FieldParams) -> FieldConsts:
+def field_consts(fp: FieldParams, mul_impl: str = "cios") -> FieldConsts:
     L = fp.n_limbs
+    R = 1 << (LIMB_BITS * L)
     return FieldConsts(
         name=fp.name,
         n_limbs=L,
@@ -76,6 +79,8 @@ def field_consts(fp: FieldParams) -> FieldConsts:
         beta_mont=limbs_from_int(fp.to_mont(fp.beta), L),
         delta_mont=limbs_from_int(fp.to_mont(fp.delta), L),
         inv_alpha_digits=np.asarray(fp.inv_alpha_windows, dtype=np.int32),
+        pprime_limbs=limbs_from_int((-pow(fp.p, -1, R)) % R, L),
+        mul_impl=mul_impl,
     )
 
 
@@ -204,11 +209,13 @@ def _finish(T, fc: FieldConsts, lazy: bool):
 
 
 def canonicalize(a, fc: FieldConsts):
-    """Fold a lazy-domain value (< 2p, relaxed digits <= 2^13 + 2^4) into
-    [0, p) with canonical digits: exact chain + conditional subtract."""
+    """Fold a lazy-domain value (< 3p, relaxed digits <= 2^13 + 2^4) into
+    [0, p) with canonical digits: exact chain + two conditional subtracts
+    (the CIOS lazy domain is [0, 2p), the parallel one [0, 3p))."""
     z, carry = _carry_chain(_rows(a))
-    # digits were relaxed, but the value < 2p < 2^(13L): no carry out
-    return _cond_sub_p(z, carry, fc)
+    # digits were relaxed, but the value < 3p < 2^(13L): no carry out
+    first = _cond_sub_p(z, carry, fc)
+    return _cond_sub_p(_rows(first), None, fc)
 
 
 def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
@@ -229,6 +236,8 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     carry sweep every _SWEEP_EVERY passes keeps columns below
     2^14 + _SWEEP_EVERY*2^27 < 2^30 (int32-safe with margin).
     """
+    if fc.mul_impl == "parallel":
+        return mont_mul_parallel(a, b, fc, lazy=lazy)
     L = fc.n_limbs
     B = a.shape[1:]
     n0 = jnp.int32(fc.n0_inv)
@@ -251,6 +260,109 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     return _finish(T, fc, lazy)
 
 
+# --------------------------------------------------------------------------
+# fully-parallel Montgomery multiplication (latency-optimized)
+# --------------------------------------------------------------------------
+#
+# CIOS computes the reduction digits m_i sequentially (m_i depends on the
+# running column 0), serializing ~6 vector ops per limb.  But the whole
+# m-vector is also m = (T mod R) * (-p^-1 mod R) mod R -- a *constant*
+# convolution of the product's low digits.  That makes every phase of the
+# multiply data-parallel:
+#
+#   T = a (*) b                  (bilinear conv, tree-summed partials)
+#   M = trunc_L(T_low (*) p')    (constant conv; value == m + jR, j in {0,1})
+#   U = M (*) p                  (constant conv)
+#   result = (T + U) >> 13L      (low half's value is divisible by R; only
+#                                 its carry-out crosses into the high half)
+#
+# The only serial piece left is the carry-out chain of the low half (2 ops
+# per limb) and the partial sweeps.  Because M may exceed m by R, the output
+# lands in [0, 3p): the lazy domain here is [0, 3p), which stays closed
+# under multiplication since 9p <= R for every registered field
+# (n_limbs = ceil((bits+2)/13) gives >= 2.6 spare bits... see check below).
+# Digits stay relaxed (<= 2^13 + 2^4) via partial sweeps exactly as in CIOS.
+#
+# The two constant convolutions are the part that later moves to the MXU as
+# int8 Toeplitz matmuls (ROADMAP.md stage 2).
+
+
+def _shift_down(x, i, rows):
+    """Value-domain zero-fill shift: rows [i, i+x.rows) of a `rows`-tall
+    array hold x; static concatenate only."""
+    B = x.shape[1:]
+    pieces = []
+    if i:
+        pieces.append(jnp.zeros((i, *B), dtype=jnp.int32))
+    take = min(x.shape[0], rows - i)
+    pieces.append(x[:take])
+    if i + take < rows:
+        pieces.append(jnp.zeros((rows - i - take, *B), dtype=jnp.int32))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+
+
+def _tree_sum(parts):
+    while len(parts) > 1:
+        nxt = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+        parts = nxt
+    return parts[0]
+
+
+def _conv_rows(rows_a, b, out_rows):
+    """sum_i shift_down(rows_a[i] * b, i): tree-summed partial products.
+
+    rows_a: list of L (B,) multiplier digits (or scalar constants);
+    b: (Lb, B) array.  Output (out_rows, B), columns unnormalized.
+    """
+    parts = [
+        _shift_down(rows_a[i] * b, i, out_rows) for i in range(len(rows_a))
+    ]
+    return _tree_sum(parts)
+
+
+def mont_mul_parallel(a, b, fc: FieldConsts, *, lazy: bool = True):
+    """Latency-optimized Montgomery product; lazy domain is [0, 3p).
+
+    See block comment above.  Digits of a/b may be relaxed (<= 2^13+2^4);
+    output digits are relaxed; output value < 3p when inputs < 3p.
+    """
+    L = fc.n_limbs
+    a_rows = [a[i] for i in range(L)]
+
+    # product conv: 2L+1 columns, col sums <= L * 2^26.01 < 2^31
+    T = _conv_rows(a_rows, b, 2 * L + 1)
+    T = _sweep_keep_top(_sweep_keep_top(T))
+
+    # m-vector: M = (T_low * p') mod R, truncated constant conv over L cols
+    pprime_rows = [fc.pprime_limbs[i] for i in range(L)]
+    M = _conv_rows(pprime_rows, T[:L], L + 2)
+    M = _sweep_keep_top(_sweep_keep_top(M))[:L]  # value == m + jR, j in {0,1}
+
+    # U = M * p: constant conv, 2L+1 columns
+    p_rows = [fc.p_limbs[i] for i in range(L)]
+    U = _conv_rows(p_rows, M, 2 * L + 1)
+
+    S = T + U  # low half's value divisible by R
+    # carry-out of the low half (the only serial chain: 2 ops per limb)
+    carry = None
+    for k in range(L):
+        t = S[k] if carry is None else S[k] + carry
+        carry = t >> LIMB_BITS
+    H = jnp.concatenate(
+        [(S[L : L + 1] + carry), S[L + 1 :]], axis=0
+    )  # (L+1, B)
+    H = _sweep_keep_top(_sweep_keep_top(H))
+    out = H[:L]
+    if lazy:
+        return out
+    z, c2 = _carry_chain([out[i] for i in range(L)])
+    first = _cond_sub_p(z, c2, fc)
+    return _cond_sub_p(_rows(first), None, fc)
+
+
 def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
     """Montgomery squaring via symmetric CIOS: pass i multiplies a_i only by
     a[i:], doubling the off-diagonal terms -- ~45% fewer limb products than
@@ -261,8 +373,10 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
     two-piece concatenate, still Mosaic-friendly.
 
     Overflow: doubled products add < 3*2^26 per column per pass, so the
-    _SWEEP_EVERY=4 cadence stays below 2^14 + 12*2^26 < 2^30.5.
+    sweep cadence bound stays int32-safe (see _SWEEP_EVERY).
     """
+    if fc.mul_impl == "parallel":
+        return mont_mul_parallel(a, a, fc, lazy=lazy)
     L = fc.n_limbs
     B = a.shape[1:]
     n0 = jnp.int32(fc.n0_inv)
@@ -364,6 +478,18 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
 
     acc = table_arr[int(digits[0])]
     acc = jax.lax.fori_loop(1, digits.shape[0], body, acc)
+    return canonicalize(acc, fc)
+
+
+def exp_alpha(x, fc: FieldConsts, alpha: int):
+    """Forward S-box power map x^alpha for the small static alpha (5 or 11)
+    via square-and-multiply (traits.rs:94-104)."""
+    bits = bin(alpha)[3:]  # skip leading 1
+    acc = x
+    for b in bits:
+        acc = mont_sqr(acc, fc, lazy=True)
+        if b == "1":
+            acc = mont_mul(acc, x, fc, lazy=True)
     return canonicalize(acc, fc)
 
 

@@ -36,6 +36,7 @@ from ..ff.limb_ops import FieldConsts, field_consts
 from ..permutation.batched import round_constant_limbs
 
 DEFAULT_BLOCK_B = 512
+DEFAULT_MUL_IMPL = "cios"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
 
 
 def _table_stride(L: int) -> int:
@@ -154,7 +155,12 @@ def _fconst_operand(fc: FieldConsts) -> np.ndarray:
     """Per-field constant rows consumed inside the kernel: a Pallas kernel
     cannot capture array constants, so limb_ops' FieldConsts arrays are
     rebound to rows of this VMEM operand (see _kernel_fc)."""
-    return np.stack([fc.p_limbs, fc.one_mont, fc.beta_mont, fc.delta_mont])
+    return np.stack(
+        [fc.p_limbs, fc.one_mont, fc.beta_mont, fc.delta_mont, fc.pprime_limbs]
+    )
+
+
+_FCONST_ROWS = 5
 
 
 def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
@@ -163,6 +169,7 @@ def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
         one_mont=fconst_ref[1, :],
         beta_mont=fconst_ref[2, :],
         delta_mont=fconst_ref[3, :],
+        pprime_limbs=fconst_ref[4, :],
     )
 
 
@@ -172,13 +179,16 @@ def _digits_operand(fc: FieldConsts) -> np.ndarray:
 
 @lru_cache(maxsize=64)
 def permutation_pallas(
-    inst: InstanceParams, block_b: int = DEFAULT_BLOCK_B, interpret: bool = False
+    inst: InstanceParams,
+    block_b: int = DEFAULT_BLOCK_B,
+    interpret: bool = False,
+    mul_impl: str = DEFAULT_MUL_IMPL,
 ):
     """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
 
     N must be a multiple of block_b (pad at the call site).
     """
-    fc = field_consts(inst.field)
+    fc = field_consts(inst.field, mul_impl)
     L = fc.n_limbs
     width = inst.width
     cd = _cd_operand(inst)
@@ -200,7 +210,7 @@ def permutation_pallas(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((4, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -223,6 +233,7 @@ def jive_pallas(
     k: int = 2,
     block_b: int = DEFAULT_BLOCK_B,
     interpret: bool = False,
+    mul_impl: str = DEFAULT_MUL_IMPL,
 ):
     """Fused batched Jive-k: int32[WIDTH*L, N] -> int32[(WIDTH//k)*L, N].
 
@@ -230,7 +241,7 @@ def jive_pallas(
     through HBM as full states (4_3/hasher.rs:161-178).
     """
     assert inst.width % k == 0 and k % 2 == 0
-    fc = field_consts(inst.field)
+    fc = field_consts(inst.field, mul_impl)
     L = fc.n_limbs
     width = inst.width
     c = width // k
@@ -257,7 +268,7 @@ def jive_pallas(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((4, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -43,7 +43,7 @@ def _timed(fn, arg, reps):
     return float(np.median(times))
 
 
-def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3):
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, mul_impl="cios"):
     from anemoi_tpu.fields.params import get_instance
 
     inst = get_instance(field, iname)
@@ -52,7 +52,7 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3):
     if on_tpu:
         from anemoi_tpu.ff.pallas_backend import jive_pallas
 
-        kern = jive_pallas(inst, 2, block_b=block)
+        kern = jive_pallas(inst, 2, block_b=block, mul_impl=mul_impl)
     else:
         from anemoi_tpu.modes.batched import jive_compress_batch_fn
 
@@ -130,9 +130,10 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
+    ap.add_argument("--impl", default="cios", choices=["cios", "parallel"])
     args = ap.parse_args()
 
-    rate = bench_jive(n=args.n, block=args.block, reps=args.reps)
+    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=args.impl)
 
     if args.all:
         for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1")]:

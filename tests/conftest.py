@@ -8,7 +8,9 @@ from pathlib import Path
 # tunneled TPU via JAX_PLATFORMS=axon -- tests must not contend for it).
 # 8 virtual devices serve the sharding tests; optimization level 0 ~halves
 # XLA CPU compile time of the big limb-kernel graphs (tests check
-# exactness, not speed).
+# exactness, not speed).  Env vars alone are not enough here: an axon
+# sitecustomize module may have registered a TPU plugin at interpreter
+# start, so the jax.config knobs are set as well below.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -19,6 +21,9 @@ os.environ["XLA_FLAGS"] = (
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # XLA compile times dominate the limb-kernel tests; cache compiled
 # executables across test runs.

@@ -1,0 +1,54 @@
+"""Streaming batched sponge vs the golden sponge (rate-aligned chunked
+absorb + tail/sigma finalize)."""
+
+import numpy as np
+import pytest
+
+from anemoi_tpu.ff import golden
+from anemoi_tpu.fields.params import get_instance
+from anemoi_tpu.modes import batched as bm
+from anemoi_tpu.modes.streaming import BatchedSponge
+
+
+@pytest.mark.parametrize("total_len,chunks", [(6, [3, 3]), (7, [6]), (4, [3])])
+def test_streaming_sponge_vesta_4_3(total_len, chunks):
+    inst = get_instance("vesta", "anemoi_4_3")
+    fp = inst.field
+    B = 4
+    rng = np.random.default_rng(0)
+    msgs = [
+        [int(rng.integers(0, 2**62)) for _ in range(total_len)] for _ in range(B)
+    ]
+
+    def elems_arr(lo_idx, hi_idx):
+        return np.stack(
+            [
+                bm.lo.encode_ints([m[e] for m in msgs], fp)
+                for e in range(lo_idx, hi_idx)
+            ]
+        )
+
+    sponge = BatchedSponge(inst, batch=B)
+    off = 0
+    for c in chunks:
+        sponge.absorb(elems_arr(off, off + c))
+        off += c
+    tail = elems_arr(off, total_len) if off < total_len else None
+    out = np.asarray(sponge.finalize(tail))
+    got = bm.decode_states(inst, out)
+    assert got == [golden.hash_field(inst, m) for m in msgs]
+
+
+def test_streaming_sponge_rate1():
+    inst = get_instance("vesta", "anemoi_2_1")
+    fp = inst.field
+    B = 4
+    rng = np.random.default_rng(1)
+    msgs = [[int(rng.integers(0, 2**62)) for _ in range(5)] for _ in range(B)]
+    arr = np.stack(
+        [bm.lo.encode_ints([m[e] for m in msgs], fp) for e in range(5)]
+    )
+    sponge = BatchedSponge(inst, batch=B)
+    sponge.absorb(arr)
+    out = np.asarray(sponge.finalize())
+    assert bm.decode_states(inst, out) == [golden.hash_field(inst, m) for m in msgs]
