@@ -87,20 +87,17 @@ def _sbox_layer(state, cols, fc: FieldConsts, *, unroll: bool):
     """Open Flystel (traits.rs:328-358):
     x -= g*y^2 ; y -= x^(1/alpha) ; x += g*y^2 + delta.
 
-    The x^(1/alpha) ladder runs once over all columns (folded along the
-    batch axis): its sequential chain is the dominant latency."""
+    Columns run separately here.  The Pallas kernel folds all columns into
+    one ladder along the batch axis (pallas_backend._sbox_layer_kernel) --
+    a big latency win under Mosaic, but the same concatenate/slice pattern
+    makes XLA:CPU compile time explode (>10x), so the jnp path keeps the
+    simple per-column form."""
     s = list(state)
-    B = s[0].shape[-1]
-    xs = [
-        lo.sub_mod(s[i], _mul_g(lo.mont_sqr(s[cols + i], fc), fc), fc)
-        for i in range(cols)
-    ]
-    xcat = xs[0] if cols == 1 else jnp.concatenate(xs, axis=-1)
-    ecat = lo.exp_inv_alpha(xcat, fc, unroll=unroll)
     for i in range(cols):
-        e = ecat if cols == 1 else ecat[..., i * B : (i + 1) * B]
-        y = lo.sub_mod(s[cols + i], e, fc)
-        x = lo.add_mod(xs[i], _mul_g(lo.mont_sqr(y, fc), fc), fc)
+        x, y = s[i], s[cols + i]
+        x = lo.sub_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
+        y = lo.sub_mod(y, lo.exp_inv_alpha(x, fc, unroll=unroll), fc)
+        x = lo.add_mod(x, _mul_g(lo.mont_sqr(y, fc), fc), fc)
         x = lo.add_const(x, fc.delta_mont, fc)
         s[i], s[cols + i] = x, y
     return s

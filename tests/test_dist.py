@@ -33,20 +33,22 @@ def test_sharded_jive_matches_golden():
     assert got == [golden.jive_compress(inst, s)[0] for s in states]
 
 
-@pytest.mark.parametrize("n_dev", [1, 4, 8])
+@pytest.mark.parametrize("n_dev", [1, 8])
 def test_sharded_forest_root_invariant(n_dev):
+    # kept small: the jitted forest inlines one permutation graph per tree
+    # level, which dominates XLA CPU compile time
     inst = get_instance("vesta", "anemoi_2_1")
     fp = inst.field
     rng = np.random.default_rng(1)
-    n_leaves = 64
+    n_leaves = 16
     leaves = [int(rng.integers(0, 2**62)) for _ in range(n_leaves)]
     arr = encode_ints(leaves, fp)
 
     # unsharded truth
-    tree = MerkleTree(inst, chunk_b=16)
+    tree = MerkleTree(inst, chunk_b=8)
     expected = decode_ints(np.asarray(tree.root(arr)), fp)[0]
 
     mesh = chip_mesh(n_dev)
-    fn = sharded_merkle_root_fn(inst, mesh, n_leaves, chunk_b=16)
+    fn = sharded_merkle_root_fn(inst, mesh, n_leaves, chunk_b=8)
     root = np.asarray(fn(shard_batch(np.asarray(arr), mesh)))
     assert decode_ints(root, fp)[0] == expected
