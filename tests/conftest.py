@@ -6,16 +6,15 @@ from pathlib import Path
 # must be set before jax is imported anywhere in the test process.
 # The test suite always runs on CPU (the environment may point JAX at a
 # tunneled TPU via JAX_PLATFORMS=axon -- tests must not contend for it).
-# 8 virtual devices serve the sharding tests; optimization level 0 ~halves
-# XLA CPU compile time of the big limb-kernel graphs (tests check
-# exactness, not speed).  Env vars alone are not enough here: an axon
-# sitecustomize module may have registered a TPU plugin at interpreter
-# start, so the jax.config knobs are set as well below.
+# 8 virtual devices serve the sharding tests.  Env vars alone are not
+# enough here: an axon sitecustomize module may have registered a TPU
+# plugin at interpreter start, so the jax.config knobs are set as well
+# below.  Note: do NOT add --xla_backend_optimization_level=0 -- it makes
+# the permutation+feedforward (Jive) programs blow up in XLA:CPU compile
+# time (>10x) instead of speeding them up.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-    + " --xla_backend_optimization_level=0"
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
