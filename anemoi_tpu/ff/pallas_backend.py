@@ -36,7 +36,7 @@ from ..ff.limb_ops import FieldConsts, field_consts
 from ..permutation.batched import round_constant_limbs
 
 DEFAULT_BLOCK_B = 512
-DEFAULT_MUL_IMPL = "cios"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
+DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
 
 
 def _table_stride(L: int) -> int:

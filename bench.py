@@ -130,10 +130,13 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
-    ap.add_argument("--impl", default="cios", choices=["cios", "parallel"])
+    ap.add_argument("--impl", default=None, choices=["cios", "cios2", "parallel"])
     args = ap.parse_args()
 
-    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=args.impl)
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_MUL_IMPL
+
+    impl = args.impl or DEFAULT_MUL_IMPL
+    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl)
 
     if args.all:
         for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1")]:

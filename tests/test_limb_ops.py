@@ -81,6 +81,26 @@ def test_exp_inv_alpha(field):
 
 
 @pytest.mark.parametrize("field", FIELD_NAMES)
+def test_cios2_mont_mul(field):
+    """Radix-2^26 CIOS (two digits per pass): canonical result and a lazy
+    squaring chain."""
+    fp = get_field(field)
+    fc = lo.field_consts(fp, mul_impl="cios2")
+    a = _rand_elems(fp, 8, 10)
+    b = _rand_elems(fp, 8, 11)
+    A, B = lo.encode_ints(a, fp), lo.encode_ints(b, fp)
+    got = lo.decode_ints(np.asarray(lo.mont_mul(A, B, fc)), fp)
+    assert got == [x * y % fp.p for x, y in zip(a, b)]
+    z = lo.mont_mul(A, B, fc, lazy=True)
+    expect = [x * y % fp.p for x, y in zip(a, b)]
+    for _ in range(6):
+        z = lo.mont_sqr(z, fc, lazy=True)
+        expect = [v * v % fp.p for v in expect]
+    got = lo.decode_ints(np.asarray(lo.canonicalize(z, fc)), fp)
+    assert got == expect
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
 def test_parallel_mont_mul(field):
     """Latency-optimized parallel Montgomery (m-vector via constant conv):
     canonical result, and an 8-deep lazy [0,3p) squaring chain."""
