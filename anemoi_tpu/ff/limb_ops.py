@@ -240,6 +240,8 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
         return mont_mul_parallel(a, b, fc, lazy=lazy)
     if fc.mul_impl == "cios2":
         return mont_mul_cios2(a, b, fc, lazy=lazy)
+    if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
+        return mont_mul_ciosk(a, b, fc, int(fc.mul_impl[4:]), lazy=lazy)
     L = fc.n_limbs
     B = a.shape[1:]
     n0 = jnp.int32(fc.n0_inv)
@@ -296,6 +298,50 @@ def mont_mul_cios2(a, b, fc: FieldConsts, *, lazy: bool = False):
         if (i // 2 + 1) % 3 == 0 and i + 2 < L:
             T = _sweep_keep_top(T)
     return _finish(T, fc, lazy)
+
+
+def mont_mul_ciosk(a, b, fc: FieldConsts, k: int, *, lazy: bool = False):
+    """Radix-2^(13k) CIOS: k multiplier digits and k reduction digits per
+    pass.  Serial dependencies per digit drop from ~6 (radix-2^13) to
+    ~3 + 3/k; each pass does 2k row-aligned vector multiply-adds placed by
+    zero-row concatenates, one k-row shift-down, and one sweep.
+
+    Overflow: a column receives up to 2k products (< 2k * 2^26.01) per pass;
+    sweeping every pass keeps columns < 2^14 + 2k*2^26.1 < 2^31 for k <= 10.
+    Requires k | L.
+    """
+    L = fc.n_limbs
+    assert L % k == 0
+    B = a.shape[1:]
+    n0 = jnp.int32(fc.n0_inv)
+    p_col = _col(fc.p_limbs)
+    rows = L + k  # spare top row beyond the k-1 staggered offsets
+    zerok = jnp.zeros((k, *B), dtype=jnp.int32)
+    T = jnp.zeros((rows, *B), dtype=jnp.int32)
+    for i in range(0, L, k):
+        contrib = _pad_rows(a[i] * b, 0, rows)
+        for j in range(1, k):
+            contrib = contrib + _pad_rows(a[i + j] * b, j, rows)
+        T = T + contrib
+        carry = None
+        for j in range(k):
+            col = T[j] if carry is None else T[j] + carry
+            m = ((col & LIMB_MASK) * n0) & LIMB_MASK
+            T = T + _pad_rows(m * p_col, j, rows)
+            col = T[j] if carry is None else T[j] + carry
+            carry = col >> LIMB_BITS  # column j now divisible by 2^13
+        T = jnp.concatenate(
+            [T[k : k + 1] + carry, T[k + 1 :], zerok], axis=0
+        )
+        if i + k < L:
+            T = _sweep_keep_top(T)
+    # value < 2p fits L digits; rows L..L+k-1 are provably zero after the
+    # lazy sweeps (all rows nonnegative, value < 2^(13L))
+    if lazy:
+        T = _sweep_keep_top(_sweep_keep_top(T))
+        return T[:L]
+    z, _carry = _carry_chain([T[i] for i in range(L + 1)])
+    return _cond_sub_p(z[:L], None, fc)
 
 
 def _pad_rows(x, start, rows):
@@ -472,6 +518,8 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
         # pad-concatenates outweigh the saved products); kept for reference
         # as mont_sqr_cios2
         return mont_mul_cios2(a, a, fc, lazy=lazy)
+    if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
+        return mont_mul_ciosk(a, a, fc, int(fc.mul_impl[4:]), lazy=lazy)
     L = fc.n_limbs
     B = a.shape[1:]
     n0 = jnp.int32(fc.n0_inv)
