@@ -63,9 +63,23 @@ class FieldConsts(NamedTuple):
     inv_alpha_digits: np.ndarray  # (n_windows,) base-16 digits, MSB first
     pprime_limbs: np.ndarray  # (L,) digits of -p^-1 mod R
     mul_impl: str = "cios"  # "cios" (serial digit recurrence) | "parallel"
+    # (2, S) sliding-window schedule: row 0 = squarings per step, row 1 =
+    # odd-table index (window_value - 1) // 2 (see params.py)
+    sw_sched: np.ndarray | None = None
+    ladder: str = "fixed4"  # "fixed4" (base-16 digits) | "sw4" (sliding window)
 
 
-def field_consts(fp: FieldParams, mul_impl: str = "cios") -> FieldConsts:
+def field_consts(
+    fp: FieldParams, mul_impl: str = "cios", ladder: str = "fixed4"
+) -> FieldConsts:
+    if ladder not in ("fixed4", "sw4"):
+        raise ValueError(f"unknown ladder {ladder!r}; expected 'fixed4' or 'sw4'")
+    if mul_impl not in ("cios", "cios2", "parallel") and not (
+        mul_impl.startswith("cios") and mul_impl[4:].isdigit()
+    ):
+        raise ValueError(
+            f"unknown mul_impl {mul_impl!r}; expected cios | cios2 | cios<k> | parallel"
+        )
     L = fp.n_limbs
     R = 1 << (LIMB_BITS * L)
     return FieldConsts(
@@ -81,6 +95,12 @@ def field_consts(fp: FieldParams, mul_impl: str = "cios") -> FieldConsts:
         inv_alpha_digits=np.asarray(fp.inv_alpha_windows, dtype=np.int32),
         pprime_limbs=limbs_from_int((-pow(fp.p, -1, R)) % R, L),
         mul_impl=mul_impl,
+        sw_sched=np.asarray(
+            [[s for s, _ in fp.inv_alpha_sliding_schedule],
+             [(v - 1) // 2 for _, v in fp.inv_alpha_sliding_schedule]],
+            dtype=np.int32,
+        ),
+        ladder=ladder,
     )
 
 
@@ -575,6 +595,48 @@ def add_const(a, const_limbs: np.ndarray, fc: FieldConsts):
 # --------------------------------------------------------------------------
 
 
+def _odd_power_table(x, fc: FieldConsts):
+    """[x^1, x^3, ..., x^15] in the lazy domain (1 squaring + 7 products)."""
+    x2 = mont_sqr(x, fc, lazy=True)
+    odd = [x]
+    for _ in range(7):
+        odd.append(mont_mul(odd[-1], x2, fc, lazy=True))
+    return odd
+
+
+def exp_inv_alpha_sw(x, fc: FieldConsts, *, unroll: bool = False):
+    """x^(1/alpha) via the static left-to-right sliding-window schedule
+    (params.py inv_alpha_sliding_schedule): odd-window table of 8 entries,
+    per step a dynamic run of squarings then one table multiply."""
+    odd = _odd_power_table(x, fc)
+    sq = fc.sw_sched[0]
+    idx = fc.sw_sched[1]
+    if unroll:
+        acc = odd[int(idx[0])]
+        for s, d in zip(sq[1:].tolist(), idx[1:].tolist()):
+            for _ in range(s):
+                acc = mont_sqr(acc, fc, lazy=True)
+            acc = mont_mul(acc, odd[d], fc, lazy=True)
+        return canonicalize(acc, fc)
+
+    table_arr = jnp.stack(odd, axis=0)  # (8, L, B)
+    sq_arr = jnp.asarray(sq)
+    idx_arr = jnp.asarray(idx)
+
+    def body(i, acc):
+        acc = jax.lax.fori_loop(
+            0, sq_arr[i], lambda j, a: mont_sqr(a, fc, lazy=True), acc
+        )
+        t = jax.lax.dynamic_index_in_dim(
+            table_arr, idx_arr[i], axis=0, keepdims=False
+        )
+        return mont_mul(acc, t, fc, lazy=True)
+
+    acc = table_arr[int(idx[0])]
+    acc = jax.lax.fori_loop(1, sq_arr.shape[0], body, acc)
+    return canonicalize(acc, fc)
+
+
 def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """x^(1/alpha) via fixed 4-bit windows over the static exponent.
 
@@ -588,6 +650,8 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     Replaces the reference's hand-derived per-field addition chains
     (reference: src/<field>/sbox.rs exp_by_inv_alpha).
     """
+    if fc.ladder == "sw4":
+        return exp_inv_alpha_sw(x, fc, unroll=unroll)
     # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
     # the lazy [0, 2p) domain, canonicalized once at the end.
     one = jnp.broadcast_to(_col(fc.one_mont), x.shape)

@@ -37,6 +37,7 @@ from ..permutation.batched import round_constant_limbs
 
 DEFAULT_BLOCK_B = 512
 DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
+DEFAULT_LADDER = "sw4"  # "sw4" sliding window (default) | "fixed4" base-16 digits
 
 
 def _table_stride(L: int) -> int:
@@ -45,8 +46,39 @@ def _table_stride(L: int) -> int:
     return -(-L // 8) * 8
 
 
+def _exp_inv_alpha_sw_kernel(x, fc: FieldConsts, sched_ref, table_ref):
+    """x^(1/alpha) via the sliding-window schedule (params.py): 8-entry odd
+    power table in VMEM scratch; per step a dynamic-count run of squarings
+    (Mosaic supports dynamic fori bounds) and one table multiply."""
+    L = fc.n_limbs
+    Ls = _table_stride(L)
+    x2 = lo.mont_sqr(x, fc, lazy=True)
+    cur = x
+    table_ref[0:L, :] = cur
+    powers = {0: x}
+    for j in range(1, 8):
+        cur = lo.mont_mul(cur, x2, fc, lazy=True)
+        powers[j] = cur
+        table_ref[j * Ls : j * Ls + L, :] = cur
+
+    acc0 = powers[int(fc.sw_sched[1][0])]
+
+    def body(i, acc):
+        acc = jax.lax.fori_loop(
+            0, sched_ref[0, i], lambda j, a: lo.mont_sqr(a, fc, lazy=True), acc
+        )
+        start = pl.multiple_of(sched_ref[1, i] * Ls, 8)
+        t = table_ref[pl.ds(start, L), :]
+        return lo.mont_mul(acc, t, fc, lazy=True)
+
+    acc = jax.lax.fori_loop(1, int(fc.sw_sched.shape[1]), body, acc0)
+    return lo.canonicalize(acc, fc)
+
+
 def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
+    if fc.ladder == "sw4":
+        return _exp_inv_alpha_sw_kernel(x, fc, digits_ref, table_ref)
     L = fc.n_limbs
     Ls = _table_stride(L)
     B = x.shape[1]
@@ -174,7 +206,15 @@ def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
 
 
 def _digits_operand(fc: FieldConsts) -> np.ndarray:
+    """SMEM schedule operand: base-16 digit string (fixed4) or the (2, S)
+    sliding-window schedule (sw4)."""
+    if fc.ladder == "sw4":
+        return fc.sw_sched
     return fc.inv_alpha_digits.astype(np.int32)
+
+
+def _table_entries(fc: FieldConsts) -> int:
+    return 8 if fc.ladder == "sw4" else 16
 
 
 @lru_cache(maxsize=64)
@@ -183,12 +223,13 @@ def permutation_pallas(
     block_b: int = DEFAULT_BLOCK_B,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
+    ladder: str = DEFAULT_LADDER,
 ):
     """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
 
     N must be a multiple of block_b (pad at the call site).
     """
-    fc = field_consts(inst.field, mul_impl)
+    fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
     width = inst.width
     cd = _cd_operand(inst)
@@ -220,7 +261,7 @@ def permutation_pallas(
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), inst.columns * block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 
@@ -234,6 +275,7 @@ def jive_pallas(
     block_b: int = DEFAULT_BLOCK_B,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
+    ladder: str = DEFAULT_LADDER,
 ):
     """Fused batched Jive-k: int32[WIDTH*L, N] -> int32[(WIDTH//k)*L, N].
 
@@ -241,7 +283,7 @@ def jive_pallas(
     through HBM as full states (4_3/hasher.rs:161-178).
     """
     assert inst.width % k == 0 and k % 2 == 0
-    fc = field_consts(inst.field, mul_impl)
+    fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
     width = inst.width
     c = width // k
@@ -278,7 +320,7 @@ def jive_pallas(
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c * L, n), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((16 * _table_stride(L), inst.columns * block_b), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
 

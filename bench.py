@@ -43,7 +43,7 @@ def _timed(fn, arg, reps):
     return float(np.median(times))
 
 
-def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, mul_impl="cios"):
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, mul_impl="cios", ladder="sw4"):
     from anemoi_tpu.fields.params import get_instance
 
     inst = get_instance(field, iname)
@@ -52,7 +52,7 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, 
     if on_tpu:
         from anemoi_tpu.ff.pallas_backend import jive_pallas
 
-        kern = jive_pallas(inst, 2, block_b=block, mul_impl=mul_impl)
+        kern = jive_pallas(inst, 2, block_b=block, mul_impl=mul_impl, ladder=ladder)
     else:
         from anemoi_tpu.modes.batched import jive_compress_batch_fn
 
@@ -130,13 +130,17 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
-    ap.add_argument("--impl", default=None, choices=["cios", "cios2", "parallel"])
+    ap.add_argument("--impl", default=None,
+                    help="mul impl: cios | cios2 | cios<k> | parallel")
+    ap.add_argument("--ladder", default=None,
+                    help="exp ladder: fixed4 | sw4 (sliding window)")
     args = ap.parse_args()
 
-    from anemoi_tpu.ff.pallas_backend import DEFAULT_MUL_IMPL
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_LADDER, DEFAULT_MUL_IMPL
 
     impl = args.impl or DEFAULT_MUL_IMPL
-    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl)
+    ladder = args.ladder or DEFAULT_LADDER
+    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl, ladder=ladder)
 
     if args.all:
         for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1")]:

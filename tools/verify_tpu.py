@@ -77,7 +77,7 @@ def main():
     ap.add_argument("--block", type=int, default=128)
     args = ap.parse_args()
 
-    impls = [args.mul_impl] if args.mul_impl else ["cios", "parallel"]
+    impls = [args.mul_impl] if args.mul_impl else ["cios2", "cios", "parallel"]
     ok = True
     t0 = time.time()
     for field in args.fields.split(","):
