@@ -65,6 +65,9 @@ def _level_fn(
             n = flat.shape[-1]
             return compress(flat.reshape(arity, L, n))[0]
 
+    # smallest batch granularity (pallas: one grid block; never above chunk)
+    min_b = min(chunk, 512)
+
     def level(digests):
         n = digests.shape[-1]
         n_nodes = n // arity
@@ -72,13 +75,25 @@ def _level_fn(
         flat = states.reshape(arity * L, n_nodes)
         if n_nodes % chunk == 0:
             chunks = [flat[:, c * chunk : (c + 1) * chunk] for c in range(n_nodes // chunk)]
-        else:
+        elif n_nodes > chunk:
             pad = chunk - (n_nodes % chunk)
             flat = jnp.pad(flat, ((0, 0), (0, pad)))
             chunks = [
                 flat[:, c * chunk : (c + 1) * chunk]
                 for c in range((n_nodes + pad) // chunk)
             ]
+        else:
+            # Small level: pad to the next power-of-two multiple of min_b
+            # instead of all the way to `chunk`.  Without this, the tail
+            # levels of a 2^20-leaf arity-2 tree cost ~14 x chunk padded
+            # nodes (~20% of the whole tree); with it the padded waste is
+            # < min_b per level.  The bounded set of shapes (min_b * 2^j,
+            # j <= log2(chunk/min_b)) keeps executable count small and
+            # cached across trees.
+            target = min_b
+            while target < n_nodes:
+                target *= 2
+            chunks = [jnp.pad(flat, ((0, 0), (0, target - n_nodes)))]
         outs = [run_states(c) for c in chunks]
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
         return out[:, :n_nodes]

@@ -124,17 +124,61 @@ def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=512,
     return n_leaves / dt
 
 
+def bench_matrix(n=1 << 18, block=512, reps=2, out_path="docs/BENCHMARKS.md"):
+    """Jive rates for every registered instantiation (the TPU analogue of
+    the reference's 7 criterion bench binaries, reference benches/*.rs);
+    writes a markdown table."""
+    from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
+
+    # reference i7-9750H single-core 2-to-1 latencies (reference README.md:77-78)
+    ref_us = {("bls12_377", "anemoi_2_1"): 429.61, ("bls12_377", "anemoi_4_3"): 485.99,
+              ("vesta", "anemoi_2_1"): 129.48, ("vesta", "anemoi_4_3"): 176.58}
+    rows = []
+    for field in FIELD_NAMES:
+        for iname in INSTANCE_NAMES:
+            t0 = time.perf_counter()
+            rate = bench_jive(field, iname, n=n, block=block, reps=reps)
+            ref = ref_us.get((field, iname))
+            vs = f"{rate * ref * 1e-6:.1f}x" if ref else "--"
+            rows.append((field, iname, rate, vs))
+            print(f"[matrix] {field}/{iname}: {rate:,.0f}/s ({vs} vs ref core; "
+                  f"{time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    dev = jax.devices()[0].device_kind
+    lines = [
+        "# Benchmark matrix (generated by `bench.py --matrix`)",
+        "",
+        f"Jive 2-to-1 compressions/sec on one {dev} chip "
+        f"(batch {n}, block {block}, forced sync per rep).",
+        "Reference column: upstream single-core i7-9750H rate where published",
+        "(reference README.md:77-78).",
+        "",
+        "| Field | Instance | hashes/s | vs reference core |",
+        "|---|---|---|---|",
+    ]
+    for field, iname, rate, vs in rows:
+        lines.append(f"| {field} | {iname} | {rate:,.0f} | {vs} |")
+    Path(out_path).write_text("\n".join(lines) + "\n")
+    print(f"[matrix] wrote {out_path}", file=sys.stderr)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
+    ap.add_argument("--matrix", action="store_true",
+                    help="bench every instantiation and write docs/BENCHMARKS.md")
     ap.add_argument("--impl", default=None,
                     help="mul impl: cios | cios2 | cios<k> | parallel")
     ap.add_argument("--ladder", default=None,
                     help="exp ladder: fixed4 | sw4 (sliding window)")
     args = ap.parse_args()
+
+    if args.matrix:
+        bench_matrix(block=args.block, reps=args.reps)
+        return
 
     from anemoi_tpu.ff.pallas_backend import DEFAULT_LADDER, DEFAULT_MUL_IMPL
 
