@@ -208,6 +208,14 @@ def main():
                   file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"[bench] merkle failed: {e}", file=sys.stderr)
+        try:
+            # BASELINE.json config 4 at single-chip scale: arity-4 tree,
+            # 2^24 leaves (multi-chip sharding splits this same tree).
+            r = bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24, reps=2)
+            print(f"[bench] vesta/anemoi_4_3 merkle 2^24 leaves (arity 4): "
+                  f"{r:,.0f} leaves/s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] merkle arity-4 failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
