@@ -45,31 +45,106 @@ def ark_layer(inst: InstanceParams, state: list[int], r: int) -> list[int]:
     return out
 
 
-def mds_layer(inst: InstanceParams, state: list[int]) -> list[int]:
-    """Linear layer incl. PHT (traits.rs:129-157; only cols 1 and 2 shipped)."""
+def mds_internal(inst: InstanceParams, half: list[int]) -> list[int]:
+    """MDS product on one half-state for the 3/4-column fast paths
+    (traits.rs:298-323)."""
     fp = inst.field
     p = fp.p
+    s = list(half)
+    if inst.columns == 3:
+        tmp = (s[0] + mul_by_generator(fp, s[2])) % p
+        s[2] = (s[2] + s[1] + mul_by_generator(fp, s[0])) % p
+        s[0] = (tmp + s[2]) % p
+        s[1] = (s[1] + tmp) % p
+    elif inst.columns == 4:
+        s[0] = (s[0] + s[1]) % p
+        s[2] = (s[2] + s[3]) % p
+        s[3] = (s[3] + mul_by_generator(fp, s[0])) % p
+        s[1] = mul_by_generator(fp, (s[1] + s[2]) % p)
+        s[0] = (s[0] + s[1]) % p
+        s[2] = (s[2] + mul_by_generator(fp, s[3])) % p
+        s[1] = (s[1] + s[2]) % p
+        s[3] = (s[3] + s[0]) % p
+    return s
+
+
+def _mds_circulant_5(x: list[int], p: int) -> list[int]:
+    """5-column circulant product (traits.rs:188-204): out[i] =
+    sum(x) + x[i+3] + 2*(x[i+2] + x[i+3] + 2*x[i+4]), indices mod 5."""
+    total = sum(x) % p
+    return [
+        (total + x[(i + 3) % 5] + 2 * (x[(i + 2) % 5] + x[(i + 3) % 5] + 2 * x[(i + 4) % 5]))
+        % p
+        for i in range(5)
+    ]
+
+
+def _mds_circulant_6(x: list[int], p: int) -> list[int]:
+    """6-column circulant product (traits.rs:222-246)."""
+    total = sum(x) % p
+    return [
+        (
+            total
+            + x[(i + 3) % 6]
+            + x[(i + 5) % 6]
+            + 2 * (x[(i + 2) % 6] + x[(i + 3) % 6] + 2 * (x[(i + 4) % 6] + x[(i + 5) % 6]))
+        )
+        % p
+        for i in range(6)
+    ]
+
+
+def _pht(s: list[int], cols: int, p: int) -> list[int]:
+    """PHT layer: y += x; x += y (traits.rs:139-141 etc)."""
+    for i in range(cols):
+        s[cols + i] = (s[cols + i] + s[i]) % p
+    for i in range(cols):
+        s[i] = (s[i] + s[cols + i]) % p
+    return s
+
+
+def mds_layer(inst: InstanceParams, state: list[int]) -> list[int]:
+    """Linear layer incl. PHT (traits.rs:129-294).
+
+    Shipped instances use the 1/2-column fast paths; 3-6 columns and the
+    generic-matrix fallback mirror the reference's dead-but-public paths so
+    wider custom instances behave identically.
+    """
+    fp = inst.field
+    p = fp.p
+    cols = inst.columns
     s = list(state)
-    if inst.columns == 1:
+    if cols == 1:
         # MDS = identity; PHT: y += x; x += y
         s[1] = (s[1] + s[0]) % p
         s[0] = (s[0] + s[1]) % p
-    elif inst.columns == 2:
+        return s
+    if cols == 2:
         s[0] = (s[0] + mul_by_generator(fp, s[1])) % p
         s[1] = (s[1] + mul_by_generator(fp, s[0])) % p
         s[3] = (s[3] + mul_by_generator(fp, s[2])) % p
         s[2] = (s[2] + mul_by_generator(fp, s[3])) % p
         s[2], s[3] = s[3], s[2]
-        # PHT
-        s[2] = (s[2] + s[0]) % p
-        s[3] = (s[3] + s[1]) % p
-        s[0] = (s[0] + s[2]) % p
-        s[1] = (s[1] + s[3]) % p
-    else:
-        raise NotImplementedError(
-            "only the 1- and 2-column instantiations exist in the reference"
-        )
-    return s
+        return _pht(s, 2, p)
+    if cols in (3, 4):
+        # x half in place; y half rotated left one cell first (traits.rs:159-161)
+        x = mds_internal(inst, s[:cols])
+        y = mds_internal(inst, s[cols + 1 :] + s[cols : cols + 1])
+        return _pht(x + y, cols, p)
+    if cols in (5, 6):
+        circ = _mds_circulant_5 if cols == 5 else _mds_circulant_6
+        x = circ(s[:cols], p)
+        y = circ(s[cols + 1 :] + s[cols : cols + 1], p)
+        return _pht(x + y, cols, p)
+    # generic fallback: naive matrix-vector product with the instance's MDS
+    # (traits.rs:272-293); y half rotated left one cell first
+    if inst.mds is None:
+        raise ValueError("no MDS matrix specified for this instance")
+    x_in = s[:cols]
+    y_in = s[cols + 1 :] + s[cols : cols + 1]
+    x = [sum(inst.mds[i * cols + j] * x_in[j] for j in range(cols)) % p for i in range(cols)]
+    y = [sum(inst.mds[i * cols + j] * y_in[j] for j in range(cols)) % p for i in range(cols)]
+    return _pht(x + y, cols, p)
 
 
 def sbox_layer(inst: InstanceParams, state: list[int]) -> list[int]:

@@ -67,6 +67,16 @@ class FieldConsts(NamedTuple):
     # odd-table index (window_value - 1) // 2 (see params.py)
     sw_sched: np.ndarray | None = None
     ladder: str = "fixed4"  # "fixed4" (base-16 digits) | "sw4" (sliding window)
+    # Host-side (python int) copies of p's digits.  Inside a Pallas kernel
+    # p_limbs is rebound to a traced VMEM row (pallas_backend._kernel_fc);
+    # the conditional-subtract/borrow fixup paths want per-limb *scalar*
+    # constants (scalar immediates under Mosaic) instead of dynamic extracts
+    # from that row.  NOTE: rewriting the m*p products as per-row scalar
+    # multiplies (skipping the 9 zero digits of the Pallas/Vesta p) was
+    # measured 1.7x SLOWER than the dense broadcast m * p_col form -- Mosaic
+    # executes full (L, B) tile ops at much higher lane utilization than
+    # row-wise (B,) ops, so fewer-but-rowwise multiplies lose.
+    p_host: tuple | None = None
 
 
 def field_consts(
@@ -95,6 +105,7 @@ def field_consts(
         inv_alpha_digits=np.asarray(fp.inv_alpha_windows, dtype=np.int32),
         pprime_limbs=limbs_from_int((-pow(fp.p, -1, R)) % R, L),
         mul_impl=mul_impl,
+        p_host=tuple(int(v) for v in fp.p_limbs),
         sw_sched=np.asarray(
             [[s for s, _ in fp.inv_alpha_sliding_schedule],
              [(v - 1) // 2 for _, v in fp.inv_alpha_sliding_schedule]],
@@ -107,6 +118,14 @@ def field_consts(
 def _col(v):
     """(L,) constant (host numpy or traced row) -> (L, 1) broadcastable."""
     return jnp.asarray(v, dtype=jnp.int32).reshape(-1, 1)
+
+
+def _p_rows_host(fc: FieldConsts):
+    """p's digits as per-limb scalars: host ints when available (scalar
+    immediates under Mosaic), else elements of the traced constant row."""
+    if fc.p_host is not None:
+        return list(fc.p_host)
+    return [fc.p_limbs[i] for i in range(fc.n_limbs)]
 
 
 # --------------------------------------------------------------------------
@@ -150,7 +169,7 @@ def _stack(rows):
 
 def _cond_sub_p(z_rows: list, carry, fc: FieldConsts):
     """value = carry*2^(13L) + z in [0, 2p) -> value mod p as L limbs."""
-    p_rows = [fc.p_limbs[i] for i in range(fc.n_limbs)]
+    p_rows = _p_rows_host(fc)
     sub, borrow = _borrow_sub(z_rows, p_rows)
     # If the top carry is set the value certainly exceeds p (and the dropped
     # final borrow cancels the carry); otherwise subtract only when z >= p.
@@ -176,7 +195,7 @@ def sub_mod(a, b, fc: FieldConsts):
     """(a - b) mod p for a, b in [0, p)."""
     diff, borrow = _borrow_sub(_rows(a), _rows(b))
     # add p back when the subtraction underflowed
-    p_rows = [fc.p_limbs[i] for i in range(fc.n_limbs)]
+    p_rows = _p_rows_host(fc)
     fixed, _ = _carry_chain([d + borrow * p for d, p in zip(diff, p_rows)])
     return _stack(fixed)
 
@@ -498,7 +517,7 @@ def mont_mul_parallel(a, b, fc: FieldConsts, *, lazy: bool = True):
     M = _sweep_keep_top(_sweep_keep_top(M))[:L]  # value == m + jR, j in {0,1}
 
     # U = M * p: constant conv, 2L+1 columns
-    p_rows = [fc.p_limbs[i] for i in range(L)]
+    p_rows = _p_rows_host(fc)
     U = _conv_rows(p_rows, M, 2 * L + 1)
 
     S = T + U  # low half's value divisible by R

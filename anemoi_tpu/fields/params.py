@@ -166,6 +166,11 @@ class InstanceParams:
     rounds: int
     C: tuple[int, ...]  # round constants, round-major, len = rounds*columns
     D: tuple[int, ...]
+    # Optional explicit MDS matrix (row-major, columns x columns) for widths
+    # with no dedicated fast path (traits.rs:272-293 generic fallback).  All
+    # shipped instances (1/2 columns) leave it None, like the reference's
+    # `MDS: Option<..> = None` default (traits.rs:54).
+    mds: tuple[int, ...] | None = None
 
     @property
     def qualified_name(self) -> str:

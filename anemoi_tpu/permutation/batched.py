@@ -62,25 +62,92 @@ def _mul_g(a, fc: FieldConsts):
     return lo.mul_const(a, fc.beta_mont, fc)
 
 
+def _mds_internal(s, cols, fc: FieldConsts):
+    """Half-state MDS product for the 3/4-column paths (traits.rs:298-323)."""
+    s = list(s)
+    if cols == 3:
+        tmp = lo.add_mod(s[0], _mul_g(s[2], fc), fc)
+        s[2] = lo.add_mod(lo.add_mod(s[2], s[1], fc), _mul_g(s[0], fc), fc)
+        s[0] = lo.add_mod(tmp, s[2], fc)
+        s[1] = lo.add_mod(s[1], tmp, fc)
+    elif cols == 4:
+        s[0] = lo.add_mod(s[0], s[1], fc)
+        s[2] = lo.add_mod(s[2], s[3], fc)
+        s[3] = lo.add_mod(s[3], _mul_g(s[0], fc), fc)
+        s[1] = _mul_g(lo.add_mod(s[1], s[2], fc), fc)
+        s[0] = lo.add_mod(s[0], s[1], fc)
+        s[2] = lo.add_mod(s[2], _mul_g(s[3], fc), fc)
+        s[1] = lo.add_mod(s[1], s[2], fc)
+        s[3] = lo.add_mod(s[3], s[0], fc)
+    return s
+
+
+def _mds_circulant(x, cols, fc: FieldConsts):
+    """5/6-column circulant products (traits.rs:188-246) via add/double."""
+    total = x[0]
+    for v in x[1:]:
+        total = lo.add_mod(total, v, fc)
+    out = []
+    for i in range(cols):
+        if cols == 5:
+            inner = lo.add_mod(
+                lo.add_mod(x[(i + 2) % 5], x[(i + 3) % 5], fc),
+                lo.double_mod(x[(i + 4) % 5], fc),
+                fc,
+            )
+            out.append(
+                lo.add_mod(lo.add_mod(total, x[(i + 3) % 5], fc), lo.double_mod(inner, fc), fc)
+            )
+        else:
+            inner = lo.add_mod(
+                lo.add_mod(x[(i + 2) % 6], x[(i + 3) % 6], fc),
+                lo.double_mod(lo.add_mod(x[(i + 4) % 6], x[(i + 5) % 6], fc), fc),
+                fc,
+            )
+            out.append(
+                lo.add_mod(
+                    lo.add_mod(lo.add_mod(total, x[(i + 3) % 6], fc), x[(i + 5) % 6], fc),
+                    lo.double_mod(inner, fc),
+                    fc,
+                )
+            )
+    return out
+
+
+def _pht(s, cols, fc: FieldConsts):
+    for i in range(cols):
+        s[cols + i] = lo.add_mod(s[cols + i], s[i], fc)
+    for i in range(cols):
+        s[i] = lo.add_mod(s[i], s[cols + i], fc)
+    return s
+
+
 def _mds_layer(state, cols, fc: FieldConsts):
-    """Linear layer + PHT (traits.rs:129-157)."""
+    """Linear layer + PHT (traits.rs:129-294).  Shipped instances use the
+    1/2-column paths; 3-6 columns mirror the reference's wider fast paths."""
     s = list(state)
     if cols == 1:
         s[1] = lo.add_mod(s[1], s[0], fc)
         s[0] = lo.add_mod(s[0], s[1], fc)
-    elif cols == 2:
+        return s
+    if cols == 2:
         s[0] = lo.add_mod(s[0], _mul_g(s[1], fc), fc)
         s[1] = lo.add_mod(s[1], _mul_g(s[0], fc), fc)
         s[3] = lo.add_mod(s[3], _mul_g(s[2], fc), fc)
         s[2] = lo.add_mod(s[2], _mul_g(s[3], fc), fc)
         s[2], s[3] = s[3], s[2]
-        s[2] = lo.add_mod(s[2], s[0], fc)
-        s[3] = lo.add_mod(s[3], s[1], fc)
-        s[0] = lo.add_mod(s[0], s[2], fc)
-        s[1] = lo.add_mod(s[1], s[3], fc)
-    else:
-        raise NotImplementedError("reference ships only 1- and 2-column instances")
-    return s
+        return _pht(s, 2, fc)
+    if cols in (3, 4):
+        x = _mds_internal(s[:cols], cols, fc)
+        y = _mds_internal(s[cols + 1 :] + s[cols : cols + 1], cols, fc)
+        return _pht(x + y, cols, fc)
+    if cols in (5, 6):
+        x = _mds_circulant(s[:cols], cols, fc)
+        y = _mds_circulant(s[cols + 1 :] + s[cols : cols + 1], cols, fc)
+        return _pht(x + y, cols, fc)
+    raise NotImplementedError(
+        "columns > 6 need an explicit MDS matrix (golden.mds_layer handles it)"
+    )
 
 
 def _sbox_layer(state, cols, fc: FieldConsts, *, unroll: bool):
