@@ -288,7 +288,9 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     T = jnp.zeros((L + 1, *B), dtype=jnp.int32)
     for i in range(L):
         low = T[:L] + a[i] * b
-        m = ((low[0] & LIMB_MASK) * n0) & LIMB_MASK  # (B,)
+        # pre-multiply mask elided: int32 wrap is mod 2^32 and 2^13 | 2^32,
+        # so the low 13 bits of low[0]*n0 are exact for any column value
+        m = (low[0] * n0) & LIMB_MASK  # (B,)
         low = low + m * p_col
         # column 0 is now divisible by 2^13: shift the array down one limb,
         # folding column 0's exact carry into the new bottom row.
@@ -309,8 +311,12 @@ def mont_mul_cios2(a, b, fc: FieldConsts, *, lazy: bool = False):
     radix-2^13 loop.  Row placement stays static: a_i*b lands at rows
     [0, L), a_{i+1}*b at rows [1, L+1), via zero-row concatenates.
 
+    The m digits skip the pre-multiply mask: int32 products wrap mod 2^32
+    and 2^13 | 2^32, so the low 13 bits of `col * n0` are exact for any
+    int32 column value -- only the post-multiply mask is needed.
+
     Overflow: each pass adds up to 4 products per column (< 2^28.1); a sweep
-    every 3 passes (6 digits) keeps columns < 2^14 + 3*2^28.1 < 2^30.
+    every 4 passes (8 digits) keeps columns < 2^14 + 4*2^28.1 < 2^30.2.
     Requires even L (all registered fields use L = 20 or 30).
     """
     L = fc.n_limbs
@@ -319,22 +325,20 @@ def mont_mul_cios2(a, b, fc: FieldConsts, *, lazy: bool = False):
     n0 = jnp.int32(fc.n0_inv)
     p_col = _col(fc.p_limbs)
     zero1 = jnp.zeros((1, *B), dtype=jnp.int32)
-    T = jnp.zeros((L + 1, *B), dtype=jnp.int32)
+    T = None
     for i in range(0, L, 2):
-        T = (
-            T
-            + jnp.concatenate([a[i] * b, zero1], axis=0)
-            + jnp.concatenate([zero1, a[i + 1] * b], axis=0)
+        contrib = jnp.concatenate([a[i] * b, zero1], axis=0) + jnp.concatenate(
+            [zero1, a[i + 1] * b], axis=0
         )
-        m0 = ((T[0] & LIMB_MASK) * n0) & LIMB_MASK
+        T = contrib if T is None else T + contrib
+        m0 = (T[0] * n0) & LIMB_MASK
         T = T + jnp.concatenate([m0 * p_col, zero1], axis=0)
         carry0 = T[0:1] >> LIMB_BITS  # column 0 now divisible by 2^13
-        u1 = (T[1] + carry0[0]) & LIMB_MASK
-        m1 = (u1 * n0) & LIMB_MASK
+        m1 = ((T[1] + carry0[0]) * n0) & LIMB_MASK
         T = T + jnp.concatenate([zero1, m1 * p_col], axis=0)
         carry1 = (T[1:2] + carry0) >> LIMB_BITS  # column 1 exact carry
         T = jnp.concatenate([T[2:3] + carry1, T[3:], zero1, zero1], axis=0)
-        if (i // 2 + 1) % 3 == 0 and i + 2 < L:
+        if (i // 2 + 1) % 4 == 0 and i + 2 < L:
             T = _sweep_keep_top(T)
     return _finish(T, fc, lazy)
 
@@ -365,7 +369,7 @@ def mont_mul_ciosk(a, b, fc: FieldConsts, k: int, *, lazy: bool = False):
         carry = None
         for j in range(k):
             col = T[j] if carry is None else T[j] + carry
-            m = ((col & LIMB_MASK) * n0) & LIMB_MASK
+            m = (col * n0) & LIMB_MASK  # pre-multiply mask elided (wrap-exact)
             T = T + _pad_rows(m * p_col, j, rows)
             col = T[j] if carry is None else T[j] + carry
             carry = col >> LIMB_BITS  # column j now divisible by 2^13
@@ -422,11 +426,10 @@ def mont_sqr_cios2(a, fc: FieldConsts, *, lazy: bool = False):
         if i + 2 < L:
             contrib = contrib + _pad_rows(prod1[1:], i + 3, L + 1)
         T = T + contrib
-        m0 = ((T[0] & LIMB_MASK) * n0) & LIMB_MASK
+        m0 = (T[0] * n0) & LIMB_MASK  # pre-multiply mask elided (wrap-exact)
         T = T + jnp.concatenate([m0 * p_col, zero1], axis=0)
         carry0 = T[0:1] >> LIMB_BITS
-        u1 = (T[1] + carry0[0]) & LIMB_MASK
-        m1 = (u1 * n0) & LIMB_MASK
+        m1 = ((T[1] + carry0[0]) * n0) & LIMB_MASK
         T = T + jnp.concatenate([zero1, m1 * p_col], axis=0)
         carry1 = (T[1:2] + carry0) >> LIMB_BITS
         T = jnp.concatenate([T[2:3] + carry1, T[3:], zero1, zero1], axis=0)
@@ -572,7 +575,7 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
         if i + 1 < L:
             head = jnp.concatenate([head[:1], head[1:] + prod[1:]], axis=0)
         low = head if i == 0 else jnp.concatenate([low[:i], head], axis=0)
-        m = ((low[0] & LIMB_MASK) * n0) & LIMB_MASK
+        m = (low[0] * n0) & LIMB_MASK  # pre-multiply mask elided (wrap-exact)
         low = low + m * p_col
         carry0 = low[0:1] >> LIMB_BITS
         T = jnp.concatenate(
