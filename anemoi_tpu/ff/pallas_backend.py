@@ -35,7 +35,7 @@ from ..ff import limb_ops as lo
 from ..ff.limb_ops import FieldConsts, field_consts
 from ..permutation.batched import round_constant_limbs
 
-DEFAULT_BLOCK_B = 512
+DEFAULT_BLOCK_B = 768  # measured optimum on v5e (153.7k/s vs 150.7k @ 512)
 DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
 DEFAULT_LADDER = "sw4"  # "sw4" sliding window (default) | "fixed4" base-16 digits
 
@@ -227,7 +227,8 @@ def permutation_pallas(
 ):
     """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
 
-    N must be a multiple of block_b (pad at the call site).
+    Any N: the batch is zero-padded up to a multiple of block_b (zero limbs
+    are the valid field element 0) and the pad lanes sliced off the output.
     """
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
@@ -246,10 +247,12 @@ def permutation_pallas(
     @jax.jit
     def run(states):
         n = states.shape[1]
-        grid = (n // block_b,)
-        return pl.pallas_call(
+        n_pad = -(-n // block_b) * block_b
+        if n_pad != n:
+            states = jnp.pad(states, ((0, 0), (0, n_pad - n)))
+        out = pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(n_pad // block_b,),
             in_specs=[
                 pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
@@ -260,10 +263,11 @@ def permutation_pallas(
             ],
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((width * L, n), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((width * L, n_pad), jnp.int32),
             scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+        return out if n_pad == n else out[:, :n]
 
     return run
 
@@ -305,10 +309,12 @@ def jive_pallas(
     @jax.jit
     def run(states):
         n = states.shape[1]
-        grid = (n // block_b,)
-        return pl.pallas_call(
+        n_pad = -(-n // block_b) * block_b
+        if n_pad != n:
+            states = jnp.pad(states, ((0, 0), (0, n_pad - n)))
+        out = pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(n_pad // block_b,),
             in_specs=[
                 pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
@@ -319,9 +325,10 @@ def jive_pallas(
             ],
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((c * L, n), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((c * L, n_pad), jnp.int32),
             scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
         )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+        return out if n_pad == n else out[:, :n]
 
     return run

@@ -43,9 +43,15 @@ def _timed(fn, arg, reps):
     return float(np.median(times))
 
 
-def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, mul_impl="cios", ladder="sw4"):
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3, mul_impl=None, ladder=None):
     from anemoi_tpu.fields.params import get_instance
+    from anemoi_tpu.ff.pallas_backend import (
+        DEFAULT_BLOCK_B, DEFAULT_LADDER, DEFAULT_MUL_IMPL,
+    )
 
+    block = block or DEFAULT_BLOCK_B
+    mul_impl = mul_impl or DEFAULT_MUL_IMPL
+    ladder = ladder or DEFAULT_LADDER
     inst = get_instance(field, iname)
     L = inst.field.n_limbs
     on_tpu = jax.default_backend() != "cpu"
@@ -77,10 +83,13 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=512, reps=3, 
     return n / dt
 
 
-def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=512, reps=2):
+def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=None, reps=2):
     """10KB-message sponge hashing (reference: 20.307 ms/msg single core)."""
     from anemoi_tpu.fields.params import get_instance
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_BLOCK_B
     from anemoi_tpu.modes.batched import sponge_hash_batch_fn
+
+    block = block or DEFAULT_BLOCK_B
 
     inst = get_instance(field, iname)
     L = inst.field.n_limbs
@@ -101,7 +110,7 @@ def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=512,
     return n_msgs / dt
 
 
-def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=512, reps=2):
+def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=None, reps=2):
     """Merkle tree root over n_leaves on one chip (leaves/sec)."""
     from anemoi_tpu.fields.params import get_instance
     from anemoi_tpu.merkle.tree import MerkleTree
@@ -124,13 +133,16 @@ def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=512,
     return n_leaves / dt
 
 
-def bench_matrix(n=1 << 18, block=512, reps=2, out_path="docs/BENCHMARKS.md"):
+def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
     """Jive rates for every registered instantiation (the TPU analogue of
     the reference's 7 criterion bench binaries, reference benches/*.rs);
     writes a markdown table."""
     from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
 
     # reference i7-9750H single-core 2-to-1 latencies (reference README.md:77-78)
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_BLOCK_B
+
+    block = block or DEFAULT_BLOCK_B
     ref_us = {("bls12_377", "anemoi_2_1"): 429.61, ("bls12_377", "anemoi_4_3"): 485.99,
               ("vesta", "anemoi_2_1"): 129.48, ("vesta", "anemoi_4_3"): 176.58}
     rows = []
@@ -165,7 +177,8 @@ def bench_matrix(n=1 << 18, block=512, reps=2, out_path="docs/BENCHMARKS.md"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
-    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--block", type=int, default=None,
+                    help="kernel batch tile (default: pallas_backend.DEFAULT_BLOCK_B)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
     ap.add_argument("--matrix", action="store_true",
