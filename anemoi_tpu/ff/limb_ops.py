@@ -84,11 +84,11 @@ def field_consts(
 ) -> FieldConsts:
     if ladder not in ("fixed4", "sw4"):
         raise ValueError(f"unknown ladder {ladder!r}; expected 'fixed4' or 'sw4'")
-    if mul_impl not in ("cios", "cios2", "parallel") and not (
+    if mul_impl not in ("cios", "cios2", "cios2s", "parallel") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
     ):
         raise ValueError(
-            f"unknown mul_impl {mul_impl!r}; expected cios | cios2 | cios<k> | parallel"
+            f"unknown mul_impl {mul_impl!r}; expected cios | cios2 | cios2s | cios<k> | parallel"
         )
     L = fp.n_limbs
     R = 1 << (LIMB_BITS * L)
@@ -277,7 +277,7 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, b, fc, lazy=lazy)
-    if fc.mul_impl == "cios2":
+    if fc.mul_impl in ("cios2", "cios2s"):
         return mont_mul_cios2(a, b, fc, lazy=lazy)
     if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
         return mont_mul_ciosk(a, b, fc, int(fc.mul_impl[4:]), lazy=lazy)
@@ -338,7 +338,7 @@ def mont_mul_cios2(a, b, fc: FieldConsts, *, lazy: bool = False):
         T = T + jnp.concatenate([zero1, m1 * p_col], axis=0)
         carry1 = (T[1:2] + carry0) >> LIMB_BITS  # column 1 exact carry
         T = jnp.concatenate([T[2:3] + carry1, T[3:], zero1, zero1], axis=0)
-        if (i // 2 + 1) % 4 == 0 and i + 2 < L:
+        if (i // 2 + 1) % 5 == 0 and i + 2 < L:
             T = _sweep_keep_top(T)
     return _finish(T, fc, lazy)
 
@@ -415,7 +415,7 @@ def mont_sqr_cios2(a, fc: FieldConsts, *, lazy: bool = False):
     n0 = jnp.int32(fc.n0_inv)
     p_col = _col(fc.p_limbs)
     zero1 = jnp.zeros((1, *B), dtype=jnp.int32)
-    T = jnp.zeros((L + 1, *B), dtype=jnp.int32)
+    T = None
     for i in range(0, L, 2):
         prod0 = a[i] * a[i:]  # columns i+j for j >= i -> rows [i, L)
         contrib = _pad_rows(prod0, i, L + 1)
@@ -425,7 +425,7 @@ def mont_sqr_cios2(a, fc: FieldConsts, *, lazy: bool = False):
         contrib = contrib + _pad_rows(prod1, i + 2, L + 1)
         if i + 2 < L:
             contrib = contrib + _pad_rows(prod1[1:], i + 3, L + 1)
-        T = T + contrib
+        T = contrib if T is None else T + contrib
         m0 = (T[0] * n0) & LIMB_MASK  # pre-multiply mask elided (wrap-exact)
         T = T + jnp.concatenate([m0 * p_col, zero1], axis=0)
         carry0 = T[0:1] >> LIMB_BITS
@@ -555,10 +555,12 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, a, fc, lazy=lazy)
+    if fc.mul_impl == "cios2s":
+        return mont_sqr_cios2(a, fc, lazy=lazy)
     if fc.mul_impl == "cios2":
-        # measured slower than the plain radix-2^26 path on v5e (the
-        # pad-concatenates outweigh the saved products); kept for reference
-        # as mont_sqr_cios2
+        # symmetric squaring measured slower than the plain radix-2^26 path
+        # on v5e (the pad-concatenates outweigh the saved products); kept
+        # selectable as mul_impl="cios2s"
         return mont_mul_cios2(a, a, fc, lazy=lazy)
     if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
         return mont_mul_ciosk(a, a, fc, int(fc.mul_impl[4:]), lazy=lazy)

@@ -35,7 +35,17 @@ from ..ff import limb_ops as lo
 from ..ff.limb_ops import FieldConsts, field_consts
 from ..permutation.batched import round_constant_limbs
 
-DEFAULT_BLOCK_B = 768  # measured optimum on v5e (153.7k/s vs 150.7k @ 512)
+DEFAULT_BLOCK_B = 768  # measured optimum on v5e for 20-limb width-2 states
+
+
+def default_block_b(inst: InstanceParams) -> int:
+    """Measured-optimal batch tile on v5e: the sbox ladder runs on a
+    (L, columns*block) tile, and its optimum is ~768 lanes for 20-limb
+    fields, ~512 for 30-limb (register/VMEM pressure grows with L*width).
+    v5e sweep (Jive 2-to-1 hashes/s): vesta 2_1 768>512>1024; vesta 4_3
+    384>512>768; bls12_377 2_1 640~512>768; bls12_377 4_3 256>384>512."""
+    target = 768 if inst.field.n_limbs <= 20 else 512
+    return max(128, target // inst.columns)
 DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
 DEFAULT_LADDER = "sw4"  # "sw4" sliding window (default) | "fixed4" base-16 digits
 
@@ -220,7 +230,7 @@ def _table_entries(fc: FieldConsts) -> int:
 @lru_cache(maxsize=64)
 def permutation_pallas(
     inst: InstanceParams,
-    block_b: int = DEFAULT_BLOCK_B,
+    block_b: int | None = None,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
     ladder: str = DEFAULT_LADDER,
@@ -230,6 +240,7 @@ def permutation_pallas(
     Any N: the batch is zero-padded up to a multiple of block_b (zero limbs
     are the valid field element 0) and the pad lanes sliced off the output.
     """
+    block_b = block_b or default_block_b(inst)
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
     width = inst.width
@@ -276,7 +287,7 @@ def permutation_pallas(
 def jive_pallas(
     inst: InstanceParams,
     k: int = 2,
-    block_b: int = DEFAULT_BLOCK_B,
+    block_b: int | None = None,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
     ladder: str = DEFAULT_LADDER,
@@ -286,6 +297,7 @@ def jive_pallas(
     Permutation + feed-forward sum in one kernel -- digests never round-trip
     through HBM as full states (4_3/hasher.rs:161-178).
     """
+    block_b = block_b or default_block_b(inst)
     assert inst.width % k == 0 and k % 2 == 0
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs

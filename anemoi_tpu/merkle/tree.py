@@ -49,9 +49,12 @@ def _level_fn(
     L = inst.field.n_limbs
 
     if backend == "pallas":
-        from ..ff.pallas_backend import DEFAULT_BLOCK_B, jive_pallas
+        from ..ff.pallas_backend import jive_pallas
 
-        chunk = chunk_b or DEFAULT_BLOCK_B
+        # Merkle levels are powers of the arity, so the tree stays in the
+        # power-of-two world: a 512 block divides every chunk and level
+        # shape (the global default tile of 768 does not).
+        chunk = chunk_b or 512
         kernel = jive_pallas(inst, k, block_b=min(chunk, 512))
 
         def run_states(flat):  # (arity*L, n_nodes)

@@ -94,7 +94,7 @@ def sponge_hash_batch_fn(
     num_elements: int,
     *,
     backend: str = "jit",
-    block_b: int = 128,
+    block_b: int | None = None,
 ):
     """Returns f(elems: (E, L, B)) -> (DIGEST, L, B) for fixed message length E.
 
@@ -102,7 +102,8 @@ def sponge_hash_batch_fn(
     block; sigma/padding finalization per the reference (hasher.rs:92-128).
     The rate-block loop runs under lax.scan so long messages keep a compact
     compiled graph.  backend="pallas" swaps in the fused TPU permutation
-    kernel (B must then be a multiple of block_b).
+    kernel (block_b None = per-instance measured default; any B, padded
+    internally).
     """
     fc = field_consts(inst.field)
     L = inst.field.n_limbs

@@ -62,7 +62,7 @@ class BatchedSponge:
         batch: int,
         *,
         backend: str = "jit",
-        block_b: int = 512,
+        block_b: int | None = None,
     ):
         self.inst = inst
         self.fc = field_consts(inst.field)

@@ -44,12 +44,11 @@ def _timed(fn, arg, reps):
 
 
 def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3, mul_impl=None, ladder=None):
+    """block/mul_impl/ladder None = the kernel defaults (per-instance
+    measured block, cios2, sw4 -- pallas_backend)."""
     from anemoi_tpu.fields.params import get_instance
-    from anemoi_tpu.ff.pallas_backend import (
-        DEFAULT_BLOCK_B, DEFAULT_LADDER, DEFAULT_MUL_IMPL,
-    )
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_LADDER, DEFAULT_MUL_IMPL
 
-    block = block or DEFAULT_BLOCK_B
     mul_impl = mul_impl or DEFAULT_MUL_IMPL
     ladder = ladder or DEFAULT_LADDER
     inst = get_instance(field, iname)
@@ -86,10 +85,7 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3,
 def bench_sponge_10kb(field="vesta", iname="anemoi_4_3", n_msgs=4096, block=None, reps=2):
     """10KB-message sponge hashing (reference: 20.307 ms/msg single core)."""
     from anemoi_tpu.fields.params import get_instance
-    from anemoi_tpu.ff.pallas_backend import DEFAULT_BLOCK_B
     from anemoi_tpu.modes.batched import sponge_hash_batch_fn
-
-    block = block or DEFAULT_BLOCK_B
 
     inst = get_instance(field, iname)
     L = inst.field.n_limbs
@@ -140,9 +136,6 @@ def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
     from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
 
     # reference i7-9750H single-core 2-to-1 latencies (reference README.md:77-78)
-    from anemoi_tpu.ff.pallas_backend import DEFAULT_BLOCK_B
-
-    block = block or DEFAULT_BLOCK_B
     ref_us = {("bls12_377", "anemoi_2_1"): 429.61, ("bls12_377", "anemoi_4_3"): 485.99,
               ("vesta", "anemoi_2_1"): 129.48, ("vesta", "anemoi_4_3"): 176.58}
     rows = []
@@ -160,7 +153,7 @@ def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
         "# Benchmark matrix (generated by `bench.py --matrix`)",
         "",
         f"Jive 2-to-1 compressions/sec on one {dev} chip "
-        f"(batch {n}, block {block}, forced sync per rep).",
+        f"(batch {n}, block {block or 'per-instance default'}, forced sync per rep).",
         "Reference column: upstream single-core i7-9750H rate where published",
         "(reference README.md:77-78).",
         "",

@@ -46,3 +46,26 @@ def test_pallas_permutation_and_jive(field, iname):
     outj = np.asarray(runj(flat)).reshape(1, -1, B)
     got = bm.decode_states(inst, outj)
     assert got == [golden.jive_compress(inst, s) for s in states]
+
+
+def test_pallas_batch_padding():
+    """Batches that are not block multiples are padded internally and the
+    pad lanes sliced off -- previously the grid truncated the remainder."""
+    from anemoi_tpu.ff import pallas_backend as pb
+
+    inst = get_instance("vesta", "anemoi_2_1")
+    B = 100  # not a multiple of block_b=64
+    rng = np.random.default_rng(3)
+    states = [
+        [int(rng.integers(0, 2**62)) for _ in range(inst.width)] for _ in range(B)
+    ]
+    arr = bm.encode_states(inst, states)
+    flat = arr.reshape(-1, B)
+
+    run = pb.permutation_pallas(inst, block_b=64, interpret=INTERPRET)
+    out = np.asarray(run(flat))
+    assert out.shape == flat.shape
+    got = bm.decode_states(inst, out.reshape(inst.width, -1, B))
+    # check the tail lanes (the ones a truncating grid would drop)
+    assert got[-1] == golden.permutation(inst, states[-1])
+    assert got == [golden.permutation(inst, s) for s in states]
