@@ -37,10 +37,32 @@ from .modes import batched as bm
 
 @dataclass(frozen=True)
 class Digest:
-    """Fixed-size hash digest (reference: anemoi_*/digest.rs)."""
+    """Fixed-size hash digest (reference: anemoi_*/digest.rs:11-47:
+    new/as_elements/to_elements/digests_to_elements/to_bytes)."""
 
     elements: tuple
     instance: "AnemoiInstance"
+
+    @classmethod
+    def new(cls, elements, instance: "AnemoiInstance") -> "Digest":
+        assert len(elements) == instance.DIGEST_SIZE
+        return cls(tuple(int(e) % instance.params.field.p for e in elements), instance)
+
+    @classmethod
+    def default(cls, instance: "AnemoiInstance") -> "Digest":
+        """All-zero digest (reference digest.rs derives Default)."""
+        return cls((0,) * instance.DIGEST_SIZE, instance)
+
+    def as_elements(self) -> tuple:
+        return self.elements
+
+    def to_elements(self) -> list:
+        return list(self.elements)
+
+    @staticmethod
+    def digests_to_elements(digests: list) -> list:
+        """Flatten digests for absorption (reference digest.rs:32-39)."""
+        return [e for d in digests for e in d.elements]
 
     def to_bytes(self) -> bytes:
         return golden.digest_to_bytes(self.instance.params, list(self.elements))
@@ -107,13 +129,17 @@ class AnemoiInstance:
         def _sponge(num_elements):
             return jax.jit(bm.sponge_hash_batch_fn(params, num_elements))
 
+        # jitted once, not per call: a fresh jax.jit(closure) per merge call
+        # would miss the jit cache and retrace/recompile on every invocation
+        _merge = jax.jit(bm.merge_batch_fn(params))
+
         from .permutation.batched import jit_permutation
 
         return SimpleNamespace(
             permutation=lambda states: jit_permutation(params)(states),
             compress=lambda states: _compress(2)(states),
             compress_k=lambda states, k: _compress(k)(states),
-            merge=lambda d0, d1: jax.jit(bm.merge_batch_fn(params))(d0, d1),
+            merge=_merge,
             hash_field=lambda elems: _sponge(int(elems.shape[0]))(elems),
             encode_states=lambda states, mont=True: bm.encode_states(
                 params, states, mont=mont

@@ -178,3 +178,53 @@ def decode_states(inst: InstanceParams, arr, *, mont: bool = True) -> list:
     fp = inst.field
     per_w = [lo.decode_ints(arr[w], fp, mont=mont) for w in range(arr.shape[0])]
     return [[per_w[w][b] for w in range(arr.shape[0])] for b in range(arr.shape[-1])]
+
+
+# --------------------------------------------------------------------------
+# batched digest serialization (reference: anemoi_*/digest.rs:42-46)
+# --------------------------------------------------------------------------
+
+
+def digest_export_fn(inst: InstanceParams):
+    """Returns f(d: (DIGEST, L, B) Montgomery) -> (DIGEST, L, B) canonical
+    plain-integer limbs: the device half of digest byte serialization
+    (exit the Montgomery domain on-device, batched).  Pair with
+    `digests_to_bytes` for the host half."""
+    fc = field_consts(inst.field)
+
+    def export(d):
+        return jnp.stack(
+            [lo.from_mont(d[i], fc) for i in range(d.shape[0])], axis=0
+        )
+
+    return export
+
+
+def digests_to_bytes(inst: InstanceParams, canon) -> list[bytes]:
+    """(DIGEST, L, B) canonical plain limbs -> B little-endian byte strings
+    (digest_bytes per element; 32 B for <=255-bit fields, 48 B for
+    BLS12-377/381 -- reference digest.rs `to_bytes` via ark_serialize).
+
+    Vectorized over the batch: limbs -> 13-bit little-endian bitstream ->
+    packed bytes, no per-element Python bignum loop.
+    """
+    arr = np.asarray(canon)
+    ds, L, B = arr.shape
+    nbytes = inst.field.digest_bytes
+    # (ds, L, B) int32 digits -> per-limb 16-bit LE bytes -> bit matrix
+    lo16 = arr.astype(np.uint16)
+    by = np.stack([lo16 & 0xFF, lo16 >> 8], axis=-1).astype(np.uint8)  # (ds,L,B,2)
+    bits = np.unpackbits(by, axis=-1, bitorder="little")  # (ds, L, B, 16)
+    bits = bits[..., :13]  # each limb contributes exactly 13 bits
+    # assemble the value bitstream per (digest elem, batch): (ds, B, 13L)
+    stream = bits.transpose(0, 2, 1, 3).reshape(ds, B, 13 * L)
+    want = 8 * nbytes
+    if stream.shape[-1] < want:
+        pad = np.zeros((ds, B, want - stream.shape[-1]), dtype=np.uint8)
+        stream = np.concatenate([stream, pad], axis=-1)
+    else:
+        stream = stream[..., :want]
+    packed = np.packbits(stream, axis=-1, bitorder="little")  # (ds, B, nbytes)
+    return [
+        b"".join(packed[e, b].tobytes() for e in range(ds)) for b in range(B)
+    ]

@@ -14,12 +14,21 @@ from ..ff.limb_ops import decode_ints
 DEBUG = bool(os.environ.get("ANEMOI_DEBUG"))
 
 
-def check_limbs(arr, fp: FieldParams, *, lazy: bool = False, what: str = "value"):
-    """Assert canonical 13-bit digits and value < p (or < 2p in the lazy
-    domain).  Host-side; intended for tests and ANEMOI_DEBUG runs."""
+def check_limbs(
+    arr,
+    fp: FieldParams,
+    *,
+    lazy: bool = False,
+    relaxed: bool = False,
+    what: str = "value",
+):
+    """Assert 13-bit digits (relaxed=True allows the lazy-sweep residue
+    <= 2^13 + 2^4, limb_ops._sweep_keep_top) and value < p (lazy=True:
+    < 2p).  Host-side; intended for tests and ANEMOI_DEBUG runs."""
     a = np.asarray(arr)
+    digit_max = LIMB_MASK + (1 << 5) if relaxed else LIMB_MASK
     assert a.dtype == np.int32, f"{what}: dtype {a.dtype}"
-    assert a.min() >= 0 and a.max() <= LIMB_MASK, (
+    assert a.min() >= 0 and a.max() <= digit_max, (
         f"{what}: digit out of range [{a.min()}, {a.max()}]"
     )
     bound = 2 * fp.p if lazy else fp.p

@@ -17,6 +17,7 @@ Extra diagnostics go to stderr; pass --all for a multi-config sweep.
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -43,14 +44,13 @@ def _timed(fn, arg, reps):
     return float(np.median(times))
 
 
-def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3, mul_impl=None, ladder=None):
+def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3, mul_impl=None, ladder=None, profile_dir=None):
     """block/mul_impl/ladder None = the kernel defaults (per-instance
-    measured block, cios2, sw4 -- pallas_backend)."""
+    measured block and ladder, cios2 -- pallas_backend)."""
     from anemoi_tpu.fields.params import get_instance
-    from anemoi_tpu.ff.pallas_backend import DEFAULT_LADDER, DEFAULT_MUL_IMPL
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_MUL_IMPL
 
     mul_impl = mul_impl or DEFAULT_MUL_IMPL
-    ladder = ladder or DEFAULT_LADDER
     inst = get_instance(field, iname)
     L = inst.field.n_limbs
     on_tpu = jax.default_backend() != "cpu"
@@ -78,7 +78,14 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3,
     t0 = time.perf_counter()
     np.asarray(run(flat))
     print(f"[bench] compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    dt = _timed(run, flat, reps)
+    if profile_dir:
+        from anemoi_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            dt = _timed(run, flat, reps)
+        print(f"[bench] xplane trace written to {profile_dir}", file=sys.stderr)
+    else:
+        dt = _timed(run, flat, reps)
     return n / dt
 
 
@@ -167,61 +174,174 @@ def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
     return rows
 
 
+def bench_multichip_dryrun(n_devices=8, n_leaves=1 << 12):
+    """Virtual-mesh scaling check (BASELINE config on simulated chips): run
+    the sharded Merkle forest on 1 vs `n_devices` virtual CPU devices in a
+    subprocess (the XLA device-count flag must be set before jax imports)
+    and derive a scaling-efficiency figure.  CPU timings are a smoke proxy
+    for the real multi-chip path, not a TPU number."""
+    import subprocess
+
+    code = f"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", {n_devices})
+import sys; sys.path.insert(0, {str(Path(__file__).parent)!r})
+from anemoi_tpu.dist.forest import sharded_merkle_root_fn
+from anemoi_tpu.dist.mesh import chip_mesh, shard_batch
+from anemoi_tpu.fields.params import get_instance
+inst = get_instance("vesta", "anemoi_2_1")
+L = inst.field.n_limbs
+rng = np.random.default_rng(0)
+leaves = rng.integers(0, 1 << 12, size=(L, {n_leaves}), dtype=np.int32)
+out = {{}}
+for nd in (1, {n_devices}):
+    mesh = chip_mesh(nd)
+    fn = sharded_merkle_root_fn(inst, mesh, {n_leaves}, chunk_b=256)
+    g = shard_batch(leaves, mesh)
+    np.asarray(fn(g))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(fn(g)); times.append(time.perf_counter() - t0)
+    out[nd] = float(np.median(times))
+eff = out[1] / ({n_devices} * out[{n_devices}])
+print(json.dumps({{"t1": out[1], "tN": out[{n_devices}], "n_devices": {n_devices},
+                   "scaling_efficiency": round(eff, 3)}}))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"dryrun subprocess failed: {res.stderr[-500:]}")
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+# reference i7-9750H single-core rates for each config (reference README.md:77-85)
+_REF_RATES = {
+    ("vesta", "anemoi_2_1", "jive"): 1e6 / 129.48,
+    ("vesta", "anemoi_4_3", "jive"): 1e6 / 176.58,
+    ("bls12_377", "anemoi_2_1", "jive"): 1e6 / 429.61,
+    ("bls12_377", "anemoi_4_3", "jive"): 1e6 / 485.99,
+    ("vesta", "anemoi_4_3", "sponge10kb"): 1e3 / 20.307,
+    ("vesta", "anemoi_2_1", "sponge10kb"): 1e3 / 44.448,
+    ("bls12_377", "anemoi_4_3", "sponge10kb"): 1e3 / 35.937,
+    ("bls12_377", "anemoi_2_1", "sponge10kb"): 1e3 / 85.369,
+}
+
+
+def bench_all(args):
+    """Every BASELINE config, machine-readable (VERDICT round 1 item 5):
+    one JSON doc on stdout + docs/BENCHMARKS_ALL.md generated from it."""
+    configs = []
+
+    def add(metric, value, unit, ref_key=None, **extra):
+        entry = {"metric": metric, "value": round(value, 1), "unit": unit, **extra}
+        ref = _REF_RATES.get(ref_key)
+        if ref:
+            entry["vs_reference_core"] = round(value / ref, 2)
+        configs.append(entry)
+        print(f"[bench] {metric}: {value:,.1f} {unit}", file=sys.stderr)
+
+    headline = bench_jive(n=args.n, block=args.block, reps=args.reps)
+    add("vesta_anemoi_2_1_jive_2to1", headline, "hashes/s",
+        ("vesta", "anemoi_2_1", "jive"))
+    for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1"),
+                         ("bls12_377", "anemoi_2_1")]:
+        try:
+            r = bench_jive(field, iname, n=args.n // 4, block=args.block, reps=2)
+            add(f"{field}_{iname}_jive_2to1", r, "hashes/s", (field, iname, "jive"))
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] {field}/{iname} failed: {e}", file=sys.stderr)
+    try:
+        r = bench_sponge_10kb(block=args.block)
+        add("vesta_anemoi_4_3_sponge_10kb", r, "msgs/s",
+            ("vesta", "anemoi_4_3", "sponge10kb"), mb_per_sec=round(r * 10240 / 1e6, 1))
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] sponge failed: {e}", file=sys.stderr)
+    try:
+        r = bench_merkle(block=args.block)
+        add("vesta_anemoi_2_1_merkle_2p20_arity2", r, "leaves/s")
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] merkle failed: {e}", file=sys.stderr)
+    try:
+        # BASELINE config 4 at single-chip scale: arity-4 tree, 2^24 leaves
+        # (multi-chip sharding splits this same tree).
+        r = bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24, reps=2)
+        add("vesta_anemoi_4_3_merkle_2p24_arity4", r, "leaves/s")
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] merkle arity-4 failed: {e}", file=sys.stderr)
+    try:
+        d = bench_multichip_dryrun()
+        add("multichip_dryrun_scaling_efficiency", d["scaling_efficiency"],
+            "fraction", n_devices=d["n_devices"], t1_sec=round(d["t1"], 4),
+            tN_sec=round(d["tN"], 4))
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
+
+    doc = {
+        "device": jax.devices()[0].device_kind,
+        "headline": {
+            "metric": "vesta_anemoi_2_1_jive_2to1_hashes_per_sec_per_chip",
+            "value": round(headline, 1),
+            "unit": "hashes/s",
+            "vs_baseline": round(headline / REFERENCE_RATE, 2),
+        },
+        "configs": configs,
+    }
+    lines = [
+        "# Full benchmark sweep (generated by `bench.py --all`)", "",
+        f"Device: {doc['device']}.  Reference column: upstream single-core",
+        "i7-9750H rate where published (reference README.md:77-85).", "",
+        "| Metric | Value | Unit | vs reference core |", "|---|---|---|---|",
+    ]
+    for c in configs:
+        lines.append(
+            f"| {c['metric']} | {c['value']:,} | {c['unit']} | "
+            f"{c.get('vs_reference_core', '--')} |"
+        )
+    Path("docs/BENCHMARKS_ALL.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps(doc))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--block", type=int, default=None,
-                    help="kernel batch tile (default: pallas_backend.DEFAULT_BLOCK_B)")
+                    help="kernel batch tile (default: per-instance measured "
+                         "optimum, pallas_backend.default_block_b)")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--all", action="store_true", help="sweep extra configs to stderr")
+    ap.add_argument("--all", action="store_true",
+                    help="bench every BASELINE config; print one JSON doc and "
+                         "write docs/BENCHMARKS_ALL.md")
     ap.add_argument("--matrix", action="store_true",
                     help="bench every instantiation and write docs/BENCHMARKS.md")
     ap.add_argument("--impl", default=None,
                     help="mul impl: cios | cios2 | cios<k> | parallel")
     ap.add_argument("--ladder", default=None,
-                    help="exp ladder: fixed4 | sw4 (sliding window)")
+                    help="exp ladder: fixed4 | sw4 (sliding window) | "
+                         "chain (reference addition chains)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler xplane trace of the timed "
+                         "reps into DIR (utils.profiling)")
     args = ap.parse_args()
 
     if args.matrix:
         bench_matrix(block=args.block, reps=args.reps)
         return
+    if args.all:
+        bench_all(args)
+        return
 
-    from anemoi_tpu.ff.pallas_backend import DEFAULT_LADDER, DEFAULT_MUL_IMPL
+    from anemoi_tpu.ff.pallas_backend import DEFAULT_MUL_IMPL
 
     impl = args.impl or DEFAULT_MUL_IMPL
-    ladder = args.ladder or DEFAULT_LADDER
-    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl, ladder=ladder)
-
-    if args.all:
-        for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1")]:
-            try:
-                r = bench_jive(field, iname, n=args.n // 4, block=args.block, reps=2)
-                print(f"[bench] {field}/{iname} jive: {r:,.0f}/s", file=sys.stderr)
-            except Exception as e:  # pragma: no cover
-                print(f"[bench] {field}/{iname} failed: {e}", file=sys.stderr)
-        try:
-            r = bench_sponge_10kb(block=args.block)
-            print(
-                f"[bench] vesta/anemoi_4_3 10KB sponge: {r:,.1f} msgs/s "
-                f"({r * 10240 / 1e6:,.1f} MB/s; reference 1-core: 49.2 msgs/s)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"[bench] sponge failed: {e}", file=sys.stderr)
-        try:
-            r = bench_merkle(block=args.block)
-            print(f"[bench] vesta/anemoi_2_1 merkle 2^20 leaves: {r:,.0f} leaves/s",
-                  file=sys.stderr)
-        except Exception as e:  # pragma: no cover
-            print(f"[bench] merkle failed: {e}", file=sys.stderr)
-        try:
-            # BASELINE.json config 4 at single-chip scale: arity-4 tree,
-            # 2^24 leaves (multi-chip sharding splits this same tree).
-            r = bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24, reps=2)
-            print(f"[bench] vesta/anemoi_4_3 merkle 2^24 leaves (arity 4): "
-                  f"{r:,.0f} leaves/s", file=sys.stderr)
-        except Exception as e:  # pragma: no cover
-            print(f"[bench] merkle arity-4 failed: {e}", file=sys.stderr)
+    rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl,
+                      ladder=args.ladder, profile_dir=args.profile)
 
     print(
         json.dumps(

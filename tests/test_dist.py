@@ -33,10 +33,11 @@ def test_sharded_jive_matches_golden():
     assert got == [golden.jive_compress(inst, s)[0] for s in states]
 
 
-@pytest.mark.parametrize("n_dev", [1, 8])
-def test_sharded_forest_root_invariant(n_dev):
+def test_sharded_forest_root_invariant():
     # kept small: the jitted forest inlines one permutation graph per tree
-    # level, which dominates XLA CPU compile time
+    # level, which dominates XLA CPU compile time.  Truth comes from the
+    # golden scalar chained reduction (no second jitted tree), which also
+    # proves the sharded subtree-then-top order equals the flat tree.
     inst = get_instance("vesta", "anemoi_2_1")
     fp = inst.field
     rng = np.random.default_rng(1)
@@ -44,11 +45,15 @@ def test_sharded_forest_root_invariant(n_dev):
     leaves = [int(rng.integers(0, 2**62)) for _ in range(n_leaves)]
     arr = encode_ints(leaves, fp)
 
-    # unsharded truth
-    tree = MerkleTree(inst, chunk_b=8)
-    expected = decode_ints(np.asarray(tree.root(arr)), fp)[0]
+    level = list(leaves)
+    while len(level) > 1:
+        level = [
+            golden.jive_compress(inst, level[i : i + 2])[0]
+            for i in range(0, len(level), 2)
+        ]
+    expected = level[0]
 
-    mesh = chip_mesh(n_dev)
+    mesh = chip_mesh(8)
     fn = sharded_merkle_root_fn(inst, mesh, n_leaves, chunk_b=8)
     root = np.asarray(fn(shard_batch(np.asarray(arr), mesh)))
     assert decode_ints(root, fp)[0] == expected

@@ -21,7 +21,7 @@ from .vector_loader import load_vectors
 DEFAULT = [
     ("vesta", "anemoi_2_1"),
     ("vesta", "anemoi_4_3"),
-    ("ed_on_bls12_377", "anemoi_4_3"),
+    ("bls12_381", "anemoi_2_1"),
 ]
 if os.environ.get("ANEMOI_FULL_PARITY"):
     from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
@@ -53,6 +53,8 @@ def test_jive_batch_vs_vectors(field, iname):
     p = inst.params
     vec = load_vectors(field, iname)
     ks = [2, 4]
+    if not os.environ.get("ANEMOI_FULL_PARITY"):
+        ks = ks[:1]  # one big compile per instantiation by default
     for pair, k in zip(vec["jive"], ks):
         arr = bm.encode_states(p, pair["input"])
         out = np.asarray(inst.batch.compress_k(arr, k))
@@ -97,3 +99,9 @@ def test_merge_batch_vs_golden():
     out = np.asarray(inst.batch.merge(a0, a1))
     got = bm.decode_states(p, out)
     assert got == [golden.merge(p, x, y) for x, y in zip(d0, d1)]
+
+    # regression (round-1 VERDICT item 6): repeat merges must hit the jit
+    # cache -- the old per-call jax.jit(closure) recompiled on every call
+    np.asarray(inst.batch.merge(a0, a1))
+    np.asarray(inst.batch.merge(a1, a0))
+    assert inst.batch.merge._cache_size() == 1

@@ -1,6 +1,8 @@
 """Streaming batched sponge vs the golden sponge (rate-aligned chunked
 absorb + tail/sigma finalize)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -9,8 +11,14 @@ from anemoi_tpu.fields.params import get_instance
 from anemoi_tpu.modes import batched as bm
 from anemoi_tpu.modes.streaming import BatchedSponge
 
+# (6,[3,3]): multi-chunk absorb, sigma=1; (4,[3]): tail + sigma=0.
+# (7,[6]) adds a same-shape tail variant: CI sweep only (compile cost).
+_CASES = [(6, [3, 3]), (4, [3])]
+if os.environ.get("ANEMOI_FULL_PARITY"):
+    _CASES.append((7, [6]))
 
-@pytest.mark.parametrize("total_len,chunks", [(6, [3, 3]), (7, [6]), (4, [3])])
+
+@pytest.mark.parametrize("total_len,chunks", _CASES)
 def test_streaming_sponge_vesta_4_3(total_len, chunks):
     inst = get_instance("vesta", "anemoi_4_3")
     fp = inst.field

@@ -24,9 +24,20 @@ REPO = Path(__file__).resolve().parent.parent
 
 def worker(proc_id: int, n_procs: int, n_leaves: int, port: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
     sys.path.insert(0, str(REPO))
     import jax
+
+    # env vars alone are not enough: an axon sitecustomize module may have
+    # registered a TPU plugin at interpreter start, which would attach every
+    # worker to the same physical chip instead of federating CPU devices.
+    jax.config.update("jax_platforms", "cpu")
+    # gloo TCP collectives make the per-process CPU devices federate into
+    # one global 2-device platform (the DCN-equivalent transport on CPU)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # NOTE: deliberately NOT enabling the persistent compilation cache here:
+    # cross-process runs loading an XLA:CPU AOT executable cached under
+    # mismatched machine-feature detection were observed to hang inside the
+    # gloo collective (one worker never reaches the rendezvous).
 
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
@@ -48,15 +59,14 @@ def worker(proc_id: int, n_procs: int, n_leaves: int, port: int):
     leaves = encode_ints(leaves_int, fp)
 
     if jax.device_count() < n_procs:
-        # this jaxlib build does not federate CPU devices across processes;
-        # on a real TPU pod slice jax.devices() spans all hosts and the code
-        # below runs unchanged.
+        # Federation failed: the demo must FAIL, not silently pass -- a
+        # green light that verifies nothing is worse than a red one.
         print(
-            f"[proc {proc_id}] SKIP: global devices={jax.device_count()} < "
-            f"{n_procs} (no cross-process CPU federation in this jaxlib)",
+            f"[proc {proc_id}] FAIL: global devices={jax.device_count()} < "
+            f"{n_procs} (cross-process CPU federation did not come up)",
             flush=True,
         )
-        sys.exit(0)
+        sys.exit(2)
     mesh = chip_mesh()
     fn = sharded_merkle_root_fn(inst, mesh, n_leaves, chunk_b=16)
 
