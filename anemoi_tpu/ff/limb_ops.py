@@ -14,7 +14,7 @@ L <= 30 products stays below 2^31 and never overflows an int32 accumulator.
 
   field bits | L limbs | R = 2^(13L)
   253..255   | 20      | 2^260
-  377        | 29      | 2^377
+  377        | 30      | 2^390
   381        | 30      | 2^390
 
 Values are kept in Montgomery form (x*R mod p) between operations, exactly
@@ -66,7 +66,12 @@ class FieldConsts(NamedTuple):
     # (2, S) sliding-window schedule: row 0 = squarings per step, row 1 =
     # odd-table index (window_value - 1) // 2 (see params.py)
     sw_sched: np.ndarray | None = None
-    ladder: str = "fixed4"  # "fixed4" (base-16 digits) | "sw4" (sliding window)
+    # "fixed4" (base-16 digits) | "sw4" (sliding window) | "chain" (the
+    # reference's hand-derived per-field addition chain, as data)
+    ladder: str = "fixed4"
+    # straight-line addition-chain schedule: tuple of ("sqr", dst, src) /
+    # ("mul", dst, a, b) register ops; result in chain_ops[-1][1]
+    chain_ops: tuple | None = None
     # Host-side (python int) copies of p's digits.  Inside a Pallas kernel
     # p_limbs is rebound to a traced VMEM row (pallas_backend._kernel_fc);
     # the conditional-subtract/borrow fixup paths want per-limb *scalar*
@@ -79,11 +84,34 @@ class FieldConsts(NamedTuple):
     p_host: tuple | None = None
 
 
+_CHAIN_CACHE: dict | None = None
+
+
+def _load_chain(field: str) -> tuple:
+    """Per-field inv-alpha addition chain, transcribed from the reference
+    (reference: src/<field>/sbox.rs:28-322) by
+    tools/extract_addition_chains.py -- schedule data, like the round
+    constants."""
+    global _CHAIN_CACHE
+    if _CHAIN_CACHE is None:
+        import json
+        from pathlib import Path
+
+        path = Path(__file__).parent.parent / "fields" / "data" / "inv_alpha_chains.json"
+        _CHAIN_CACHE = json.loads(path.read_text())
+    chain = _CHAIN_CACHE[field]
+    ops = tuple(tuple(op) for op in chain["ops"])
+    assert ops[-1][1] == chain["out"]
+    return ops
+
+
 def field_consts(
     fp: FieldParams, mul_impl: str = "cios", ladder: str = "fixed4"
 ) -> FieldConsts:
-    if ladder not in ("fixed4", "sw4"):
-        raise ValueError(f"unknown ladder {ladder!r}; expected 'fixed4' or 'sw4'")
+    if ladder not in ("fixed4", "sw4", "chain"):
+        raise ValueError(
+            f"unknown ladder {ladder!r}; expected 'fixed4' | 'sw4' | 'chain'"
+        )
     if mul_impl not in ("cios", "cios2", "cios2s", "parallel") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
     ):
@@ -112,6 +140,7 @@ def field_consts(
             dtype=np.int32,
         ),
         ladder=ladder,
+        chain_ops=_load_chain(fp.name) if ladder == "chain" else None,
     )
 
 
@@ -316,8 +345,9 @@ def mont_mul_cios2(a, b, fc: FieldConsts, *, lazy: bool = False):
     int32 column value -- only the post-multiply mask is needed.
 
     Overflow: each pass adds up to 4 products per column (< 2^28.1); a sweep
-    every 4 passes (8 digits) keeps columns < 2^14 + 4*2^28.1 < 2^30.2.
-    Requires even L (all registered fields use L = 20 or 30).
+    every 5 passes (10 digits) keeps columns < 2^14 + 5*2^28.1 < 2^30.5
+    (int32-safe with margin).  Requires even L (all registered fields use
+    L = 20 or 30).
     """
     L = fc.n_limbs
     assert L % 2 == 0
@@ -661,6 +691,21 @@ def exp_inv_alpha_sw(x, fc: FieldConsts, *, unroll: bool = False):
     return canonicalize(acc, fc)
 
 
+def exp_inv_alpha_chain(x, fc: FieldConsts):
+    """x^(1/alpha) via the reference's hand-derived per-field addition chain
+    (reference: src/<field>/sbox.rs:28-322, transcribed as schedule data by
+    tools/extract_addition_chains.py): straight-line sqr/mul register ops in
+    the lazy domain, ~5-8% fewer Montgomery products than the sliding-window
+    ladder (vesta: 293 vs ~315) and no dynamic table indexing at all."""
+    regs = {0: x}
+    for op in fc.chain_ops:
+        if op[0] == "sqr":
+            regs[op[1]] = mont_sqr(regs[op[2]], fc, lazy=True)
+        else:
+            regs[op[1]] = mont_mul(regs[op[2]], regs[op[3]], fc, lazy=True)
+    return canonicalize(regs[fc.chain_ops[-1][1]], fc)
+
+
 def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """x^(1/alpha) via fixed 4-bit windows over the static exponent.
 
@@ -676,6 +721,8 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """
     if fc.ladder == "sw4":
         return exp_inv_alpha_sw(x, fc, unroll=unroll)
+    if fc.ladder == "chain":
+        return exp_inv_alpha_chain(x, fc)
     # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
     # the lazy [0, 2p) domain, canonicalized once at the end.
     one = jnp.broadcast_to(_col(fc.one_mont), x.shape)

@@ -1,0 +1,183 @@
+"""Montgomery multiplication with the constant convolutions on the MXU.
+
+ROADMAP stage 2/3 follow-up (round-1 VERDICT item 2: build the fused
+prototype instead of paper-killing the north star).  Structure: the
+fully-parallel Montgomery form (limb_ops.mont_mul_parallel) has three
+convolutions per product --
+
+    T = a (*) b        bilinear: stays on the VPU (diagonal for RNS only)
+    M = T_low (*) p'   constant: a lower-triangular Toeplitz matmul
+    U = M (*) p        constant: a banded Toeplitz matmul
+
+-- and the two constant convs are exactly what the MXU can absorb.  The TPU
+has no widening integer multiply on the MXU either, but it DOES have a
+native int8 x int8 -> int32 systolic path, so 13-bit digits are split into
+a 7-bit low piece and a <=6-bit high piece and each Toeplitz matrix W is
+split the same way.  The three piece products
+
+    W_lo*x_lo + 2^7 (W_lo*x_hi + W_hi*x_lo) + 2^14 (W_hi*x_hi)
+
+are packed into ONE block-structured matmul
+
+    [[W_lo,    0],
+     [W_hi, W_lo],        (3R, 2L) @ (2L, B) int8 -> int32
+     [   0, W_hi]]
+
+whose three R-row output groups are recombined with two shifts -- so each
+constant conv costs one MXU matmul with contraction K = 2L (40 for 255-bit
+fields) plus 4 VPU recombine ops, instead of ~L full-width VPU
+multiply-adds.
+
+Overflow accounting (L <= 30): group sums <= L * 127 * 127 < 2^19, the
+2^14-shifted group <= L * 63 * 64 * 2^14 < 2^30.9, total < 2^31.  Column
+values of the recombined conv are < L * 2^26.2 < 2^31: the standard lazy
+sweep machinery (limb_ops._sweep_keep_top) normalizes them exactly as it
+does for the VPU convolutions.
+
+Everything here is pure jnp on (rows, B) int32/int8 arrays: the same code
+runs under jit on CPU (tests) and inside Pallas TPU kernels (the Toeplitz
+operands are passed in as kernel inputs; see pallas integration).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import LIMB_BITS, LIMB_MASK, FieldParams
+from . import limb_ops as lo
+from .limb_ops import FieldConsts
+
+_PIECE_BITS = 7
+_PIECE_MASK = (1 << _PIECE_BITS) - 1
+
+
+class MxuConsts(NamedTuple):
+    """Host-side int8 Toeplitz operands for one field (numpy)."""
+
+    w_pprime: np.ndarray  # (3L, 2L) int8: truncated conv with p' digits
+    w_p: np.ndarray  # (3*(2L-1), 2L) int8: full conv with p digits
+
+
+def _split_w(w: np.ndarray):
+    assert w.max() <= LIMB_MASK
+    return (w & _PIECE_MASK).astype(np.int8), (w >> _PIECE_BITS).astype(np.int8)
+
+
+def _stack3(w: np.ndarray) -> np.ndarray:
+    """(R, L) 13-bit Toeplitz -> (3R, 2L) int8 block matrix (see module doc)."""
+    w_lo, w_hi = _split_w(w)
+    R, L = w.shape
+    z = np.zeros((R, L), dtype=np.int8)
+    return np.concatenate(
+        [
+            np.concatenate([w_lo, z], axis=1),
+            np.concatenate([w_hi, w_lo], axis=1),
+            np.concatenate([z, w_hi], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def _toeplitz_trunc(v: np.ndarray, L: int, rows: int) -> np.ndarray:
+    """W[j, t] = v[j - t] for 0 <= j - t < L: convolution truncated at
+    `rows` columns (rows > L keeps spare columns so the keep-top sweeps can
+    normalize digit L-1 before the mod-R truncation drops the spares)."""
+    w = np.zeros((rows, L), dtype=np.int64)
+    for j in range(rows):
+        for t in range(max(0, j - L + 1), min(L, j + 1)):
+            w[j, t] = v[j - t]
+    return w
+
+
+def mxu_consts(fc: FieldConsts) -> MxuConsts:
+    L = fc.n_limbs
+    return MxuConsts(
+        w_pprime=_stack3(_toeplitz_trunc(np.asarray(fc.pprime_limbs), L, L + 2)),
+        w_p=_stack3(_toeplitz_trunc(np.asarray(fc.p_limbs), L, 2 * L - 1)),
+    )
+
+
+def _pieces(x):
+    """(K, B) digits <= 2^13 + 2^4 -> (2K, B) int8 pieces [lo7; hi<=64]."""
+    return jnp.concatenate([x & _PIECE_MASK, x >> _PIECE_BITS], axis=0).astype(
+        jnp.int8
+    )
+
+
+def _conv_matmul(w_stack, x_pieces, rows: int):
+    """One MXU matmul -> recombined int32 convolution columns (rows, B)."""
+    out = jax.lax.dot_general(
+        w_stack,
+        x_pieces,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    g1 = out[:rows]
+    g2 = out[rows : 2 * rows]
+    g3 = out[2 * rows :]
+    return g1 + (g2 << _PIECE_BITS) + (g3 << (2 * _PIECE_BITS))
+
+
+def _conv1_sqr(a, L: int):
+    """Symmetric bilinear conv a (*) a on the VPU: (2L+1, B) columns."""
+    parts = []
+    for i in range(L):
+        prod = a[i] * a[i:]  # rows [2i, L+i)
+        parts.append(lo._shift_down(prod, 2 * i, 2 * L + 1))
+        if i + 1 < L:
+            parts.append(lo._shift_down(prod[1:], 2 * i + 1, 2 * L + 1))  # double
+    return lo._tree_sum(parts)
+
+
+def _conv1_mul(a, b, L: int):
+    parts = [lo._shift_down(a[i] * b, i, 2 * L + 1) for i in range(L)]
+    return lo._tree_sum(parts)
+
+
+def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
+                 sqr: bool = False):
+    """Montgomery product with constant convs on the MXU; lazy domain [0, 3p).
+
+    Same value flow as limb_ops.mont_mul_parallel (see its derivation);
+    digits of a/b may be relaxed (<= 2^13 + 2^4).
+    """
+    L = fc.n_limbs
+
+    # bilinear product conv (VPU): columns <= L * 2^26.3 < 2^31
+    T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
+    T = lo._sweep_keep_top(lo._sweep_keep_top(T))
+
+    # M = trunc_L(T_low (*) p'): one MXU matmul; value == m + jR, j in {0,1}
+    # (computed at L+2 columns so the sweeps normalize digit L-1; the spare
+    # rows are then dropped -- the mod-R truncation, as in mont_mul_parallel)
+    M = _conv_matmul(mc.w_pprime, _pieces(T[:L]), L + 2)
+    M = lo._sweep_keep_top(lo._sweep_keep_top(M))[:L]  # digits <= 2^13 + 2^5
+
+    # U = M (*) p: one MXU matmul, 2L-1 columns
+    U = _conv_matmul(mc.w_p, _pieces(M), 2 * L - 1)
+
+    B = T.shape[1:]
+    S = T + jnp.concatenate(
+        [U, jnp.zeros((2, *B), dtype=jnp.int32)], axis=0
+    )
+    # carry-out of the low half (divisible by R): the only serial chain
+    carry = None
+    for k in range(L):
+        t = S[k] if carry is None else S[k] + carry
+        carry = t >> LIMB_BITS
+    H = jnp.concatenate([S[L : L + 1] + carry, S[L + 1 :]], axis=0)
+    H = lo._sweep_keep_top(lo._sweep_keep_top(H))
+    out = H[:L]
+    if lazy:
+        return out
+    z, c2 = lo._carry_chain([out[i] for i in range(L)])
+    first = lo._cond_sub_p(z, c2, fc)
+    return lo._cond_sub_p(lo._rows(first), None, fc)
+
+
+def mont_sqr_mxu(a, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True):
+    return mont_mul_mxu(a, a, mc, fc, lazy=lazy, sqr=True)

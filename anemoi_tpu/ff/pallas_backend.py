@@ -47,7 +47,17 @@ def default_block_b(inst: InstanceParams) -> int:
     target = 768 if inst.field.n_limbs <= 20 else 512
     return max(128, target // inst.columns)
 DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
-DEFAULT_LADDER = "sw4"  # "sw4" sliding window (default) | "fixed4" base-16 digits
+DEFAULT_LADDER = None  # None = per-instance measured default (default_ladder)
+
+
+def default_ladder(inst: InstanceParams) -> str:
+    """Measured-optimal exp schedule on v5e: the reference's transcribed
+    addition chains ("chain", ~6-8% fewer Montgomery products than the
+    sliding window) win for 20-limb fields (vesta 2_1 169.5k vs 159.1k/s,
+    vesta 4_3 124.9k vs 116.7k/s); 30-limb fields keep the sliding window
+    unless the chain measurement wins there too (the 448-op straight-line
+    unroll inflates Mosaic compile time at L=30)."""
+    return "chain" if inst.field.n_limbs <= 20 else "sw4"
 
 
 def _table_stride(L: int) -> int:
@@ -87,6 +97,9 @@ def _exp_inv_alpha_sw_kernel(x, fc: FieldConsts, sched_ref, table_ref):
 
 def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
+    if fc.ladder == "chain":
+        # straight-line register schedule; no table, no dynamic slicing
+        return lo.exp_inv_alpha_chain(x, fc)
     if fc.ladder == "sw4":
         return _exp_inv_alpha_sw_kernel(x, fc, digits_ref, table_ref)
     L = fc.n_limbs
@@ -216,14 +229,19 @@ def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
 
 
 def _digits_operand(fc: FieldConsts) -> np.ndarray:
-    """SMEM schedule operand: base-16 digit string (fixed4) or the (2, S)
-    sliding-window schedule (sw4)."""
+    """SMEM schedule operand: base-16 digit string (fixed4), the (2, S)
+    sliding-window schedule (sw4), or a placeholder (chain: the schedule is
+    baked into the straight-line kernel body)."""
+    if fc.ladder == "chain":
+        return np.zeros((1,), dtype=np.int32)
     if fc.ladder == "sw4":
         return fc.sw_sched
     return fc.inv_alpha_digits.astype(np.int32)
 
 
 def _table_entries(fc: FieldConsts) -> int:
+    if fc.ladder == "chain":
+        return 1  # minimal (unused) scratch
     return 8 if fc.ladder == "sw4" else 16
 
 
@@ -233,7 +251,7 @@ def permutation_pallas(
     block_b: int | None = None,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
-    ladder: str = DEFAULT_LADDER,
+    ladder: str | None = DEFAULT_LADDER,
 ):
     """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
 
@@ -241,6 +259,7 @@ def permutation_pallas(
     are the valid field element 0) and the pad lanes sliced off the output.
     """
     block_b = block_b or default_block_b(inst)
+    ladder = ladder or default_ladder(inst)
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
     width = inst.width
@@ -290,7 +309,7 @@ def jive_pallas(
     block_b: int | None = None,
     interpret: bool = False,
     mul_impl: str = DEFAULT_MUL_IMPL,
-    ladder: str = DEFAULT_LADDER,
+    ladder: str | None = DEFAULT_LADDER,
 ):
     """Fused batched Jive-k: int32[WIDTH*L, N] -> int32[(WIDTH//k)*L, N].
 
@@ -298,6 +317,7 @@ def jive_pallas(
     through HBM as full states (4_3/hasher.rs:161-178).
     """
     block_b = block_b or default_block_b(inst)
+    ladder = ladder or default_ladder(inst)
     assert inst.width % k == 0 and k % 2 == 0
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs

@@ -80,6 +80,27 @@ def test_exp_inv_alpha(field):
     assert got == [pow(x, fp.inv_alpha, fp.p) for x in a]
 
 
+_CHAIN_FIELDS = (
+    FIELD_NAMES
+    if __import__("os").environ.get("ANEMOI_FULL_PARITY")
+    else ["vesta", "bls12_377"]  # both limb widths; full sweep in CI
+)
+
+
+@pytest.mark.parametrize("field", _CHAIN_FIELDS)
+def test_exp_inv_alpha_chain(field):
+    """The reference's transcribed addition chains (ladder="chain") agree
+    with pow(x, 1/alpha) for every field (reference sbox.rs test_alpha
+    analogue, plus corner cases 1 and p-1)."""
+    fp = get_field(field)
+    fc = lo.field_consts(fp, ladder="chain")
+    a = _rand_elems(fp, 6, 15)
+    a[0] = 1
+    A = lo.encode_ints(a, fp)
+    got = lo.decode_ints(np.asarray(lo.exp_inv_alpha(A, fc)), fp)
+    assert got == [pow(x, fp.inv_alpha, fp.p) for x in a]
+
+
 @pytest.mark.parametrize("field", FIELD_NAMES)
 def test_cios2_mont_mul(field):
     """Radix-2^26 CIOS (two digits per pass): canonical result and a lazy
@@ -98,6 +119,50 @@ def test_cios2_mont_mul(field):
         expect = [v * v % fp.p for v in expect]
     got = lo.decode_ints(np.asarray(lo.canonicalize(z, fc)), fp)
     assert got == expect
+
+
+@pytest.mark.parametrize("field", FIELD_NAMES)
+def test_cios2s_mont_sqr(field):
+    """Radix-2^26 symmetric squaring (mul_impl="cios2s"): canonical result
+    and a lazy squaring chain, with the lazy-domain limb invariant checked
+    at every step (utils.debug)."""
+    from anemoi_tpu.utils.debug import check_limbs
+
+    fp = get_field(field)
+    fc = lo.field_consts(fp, mul_impl="cios2s")
+    a = _rand_elems(fp, 8, 12)
+    b = _rand_elems(fp, 8, 13)
+    A, B = lo.encode_ints(a, fp), lo.encode_ints(b, fp)
+    got = lo.decode_ints(np.asarray(lo.mont_mul(A, B, fc)), fp)
+    assert got == [x * y % fp.p for x, y in zip(a, b)]
+    got = lo.decode_ints(np.asarray(lo.mont_sqr(A, fc)), fp)
+    assert got == [x * x % fp.p for x in a]
+    z = lo.mont_mul(A, B, fc, lazy=True)
+    expect = [x * y % fp.p for x, y in zip(a, b)]
+    for _ in range(6):
+        z = lo.mont_sqr(z, fc, lazy=True)
+        expect = [v * v % fp.p for v in expect]
+    got = lo.decode_ints(np.asarray(lo.canonicalize(z, fc)), fp)
+    assert got == expect
+
+
+@pytest.mark.parametrize("field", ["vesta", "bls12_381"])
+def test_lazy_domain_invariants(field):
+    """The lazy [0,2p) CIOS domain invariant, checked via utils.debug: lazy
+    products stay below 2p with relaxed digits; canonicalize restores
+    canonical digits < p."""
+    from anemoi_tpu.utils.debug import check_limbs
+
+    fp = get_field(field)
+    fc = lo.field_consts(fp, mul_impl="cios2")
+    a = _rand_elems(fp, 8, 14)
+    A = lo.encode_ints(a, fp)
+    z = lo.mont_sqr(A, fc, lazy=True)
+    for _ in range(3):
+        z = lo.mont_sqr(z, fc, lazy=True)
+    check_limbs(np.asarray(z), fp, lazy=True, relaxed=True, what="lazy chain")
+    out = lo.canonicalize(z, fc)
+    check_limbs(np.asarray(out), fp, lazy=False, what="canonicalized")
 
 
 @pytest.mark.parametrize("field", FIELD_NAMES)

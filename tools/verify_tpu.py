@@ -33,7 +33,7 @@ def check(name, ok):
     return ok
 
 
-def verify_field(field, interpret, mul_impl, block=128):
+def verify_field(field, interpret, mul_impl, block=128, ladder="sw4"):
     from anemoi_tpu.ff import golden
     from anemoi_tpu.ff import pallas_backend as pb
     from anemoi_tpu.fields.params import get_instance
@@ -50,19 +50,19 @@ def verify_field(field, interpret, mul_impl, block=128):
         ]
         arr = bm.encode_states(inst, states).reshape(-1, B)
 
-        run = pb.permutation_pallas(inst, block, interpret, mul_impl)
+        run = pb.permutation_pallas(inst, block, interpret, mul_impl, ladder)
         out = np.asarray(run(arr)).reshape(inst.width, -1, B)
         ok &= check(
-            f"{field}/{iname} permutation ({mul_impl})",
+            f"{field}/{iname} permutation ({mul_impl}/{ladder})",
             bm.decode_states(inst, out)
             == [golden.permutation(inst, s) for s in states],
         )
 
         k = inst.width // inst.digest_size
-        runj = pb.jive_pallas(inst, k, block, interpret, mul_impl)
+        runj = pb.jive_pallas(inst, k, block, interpret, mul_impl, ladder)
         outj = np.asarray(runj(arr)).reshape(inst.digest_size, -1, B)
         ok &= check(
-            f"{field}/{iname} jive-{k} ({mul_impl})",
+            f"{field}/{iname} jive-{k} ({mul_impl}/{ladder})",
             bm.decode_states(inst, outj)
             == [golden.jive_compress_k(inst, s, k) for s in states],
         )
@@ -74,15 +74,18 @@ def main():
     ap.add_argument("--fields", default="vesta")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--mul-impl", default=None, help="cios, parallel, or both")
+    ap.add_argument("--ladder", default=None, help="sw4 | fixed4 | chain")
     ap.add_argument("--block", type=int, default=128)
     args = ap.parse_args()
 
     impls = [args.mul_impl] if args.mul_impl else ["cios2", "cios", "parallel"]
+    ladders = [args.ladder] if args.ladder else ["sw4", "chain"]
     ok = True
     t0 = time.time()
     for field in args.fields.split(","):
         for impl in impls:
-            ok &= verify_field(field, args.interpret, impl, args.block)
+            for ladder in ladders:
+                ok &= verify_field(field, args.interpret, impl, args.block, ladder)
     print(f"done in {time.time()-t0:.0f}s: {'ALL PASS' if ok else 'FAILURES'}")
     sys.exit(0 if ok else 1)
 
