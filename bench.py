@@ -68,16 +68,30 @@ def bench_jive(field="vesta", iname="anemoi_2_1", n=1 << 20, block=None, reps=3,
     rng = np.random.default_rng(0)
     # random 13-bit limb states are valid Montgomery-domain field elements
     # with overwhelming probability for timing purposes; correctness is
-    # pinned by the test suite, not the bench.
-    flat = jax.device_put(
-        jnp.asarray(
-            rng.integers(0, 1 << 12, size=(inst.width * L, n), dtype=np.int32)
-        )
-    )
+    # pinned by the test suite.  The first 4 lanes are replaced by CANONICAL
+    # encoded states and checked against the golden model below -- a
+    # value-dependent bug in the timed path fails the bench, at zero extra
+    # compile cost (same batch, same kernel).
+    host = rng.integers(0, 1 << 12, size=(inst.width * L, n), dtype=np.int32)
+    from anemoi_tpu.ff import golden
+    from anemoi_tpu.modes.batched import decode_states, encode_states
+
+    check_states = [
+        [int(rng.integers(0, 2**62)) * int(rng.integers(1, 2**62)) % inst.field.p
+         for _ in range(inst.width)]
+        for _ in range(4)
+    ]
+    host[:, :4] = encode_states(inst, check_states).reshape(inst.width * L, 4)
+    flat = jax.device_put(jnp.asarray(host))
     run = jax.jit(lambda x: jnp.sum(kern(x)))
     t0 = time.perf_counter()
     np.asarray(run(flat))
     print(f"[bench] compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    out4 = np.asarray(kern(flat)).reshape(inst.width // 2, L, -1)[:, :, :4]
+    expect = [golden.jive_compress(inst, s) for s in check_states]
+    assert decode_states(inst, out4) == expect, (
+        "bench kernel output diverges from golden on canonical inputs"
+    )
     if profile_dir:
         from anemoi_tpu.utils.profiling import trace
 
