@@ -72,6 +72,10 @@ class FieldConsts(NamedTuple):
     # straight-line addition-chain schedule: tuple of ("sqr", dst, src) /
     # ("mul", dst, a, b) register ops; result in chain_ops[-1][1]
     chain_ops: tuple | None = None
+    # MXU constant-conv operands (mxu_ops.MxuConsts) when mul_impl="mxu";
+    # host numpy outside kernels, rebound to traced VMEM refs inside
+    # (pallas_backend._kernel_fc)
+    mxu: object = None
     # Host-side (python int) copies of p's digits.  Inside a Pallas kernel
     # p_limbs is rebound to a traced VMEM row (pallas_backend._kernel_fc);
     # the conditional-subtract/borrow fixup paths want per-limb *scalar*
@@ -112,15 +116,16 @@ def field_consts(
         raise ValueError(
             f"unknown ladder {ladder!r}; expected 'fixed4' | 'sw4' | 'chain'"
         )
-    if mul_impl not in ("cios", "cios2", "cios2s", "parallel") and not (
+    if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
     ):
         raise ValueError(
-            f"unknown mul_impl {mul_impl!r}; expected cios | cios2 | cios2s | cios<k> | parallel"
+            f"unknown mul_impl {mul_impl!r}; expected "
+            "cios | cios2 | cios2s | cios<k> | parallel | mxu"
         )
     L = fp.n_limbs
     R = 1 << (LIMB_BITS * L)
-    return FieldConsts(
+    fc = FieldConsts(
         name=fp.name,
         n_limbs=L,
         n0_inv=fp.n0_inv,
@@ -142,6 +147,11 @@ def field_consts(
         ladder=ladder,
         chain_ops=_load_chain(fp.name) if ladder == "chain" else None,
     )
+    if mul_impl == "mxu":
+        from .mxu_ops import mxu_consts
+
+        fc = fc._replace(mxu=mxu_consts(fc))
+    return fc
 
 
 def _col(v):
@@ -306,6 +316,10 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, b, fc, lazy=lazy)
+    if fc.mul_impl == "mxu":
+        from .mxu_ops import mont_mul_mxu
+
+        return mont_mul_mxu(a, b, fc.mxu, fc, lazy=lazy)
     if fc.mul_impl in ("cios2", "cios2s"):
         return mont_mul_cios2(a, b, fc, lazy=lazy)
     if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
@@ -585,6 +599,10 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, a, fc, lazy=lazy)
+    if fc.mul_impl == "mxu":
+        from .mxu_ops import mont_sqr_mxu
+
+        return mont_sqr_mxu(a, fc.mxu, fc, lazy=lazy)
     if fc.mul_impl == "cios2s":
         return mont_sqr_cios2(a, fc, lazy=lazy)
     if fc.mul_impl == "cios2":
@@ -618,6 +636,112 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
         if (i + 1) % _SWEEP_EVERY == 0 and i + 1 < L:
             T = _sweep_keep_top(T)
     return _finish(T, fc, lazy)
+
+
+# --------------------------------------------------------------------------
+# SOS Montgomery product accumulating in a VMEM scratch ref (Pallas only)
+# --------------------------------------------------------------------------
+
+
+def _p_blocks(fc: FieldConsts) -> list:
+    """Contiguous nonzero-digit blocks of p as (offset, length), merging
+    blocks separated by <= 2 zero digits (one dense tile op beats two short
+    ones).  Vesta/Pallas (p = 2^254 + c): [(0, 10), (19, 1)] -- the m*p
+    half of the modmul touches 11 rows instead of 20.  Dense moduli
+    degenerate to [(0, L)]."""
+    digits = fc.p_host
+    assert digits is not None
+    nz = [i for i, v in enumerate(digits) if v]
+    blocks = []
+    start = prev = nz[0]
+    for i in nz[1:]:
+        if i - prev <= 3:  # gap of <= 2 zeros: keep the tile dense
+            prev = i
+            continue
+        blocks.append((start, prev - start + 1))
+        start = prev = i
+    blocks.append((start, prev - start + 1))
+    return blocks
+
+
+def mont_mul_sos_ref(a, b, fc: FieldConsts, t_ref, *, lazy: bool = True,
+                     sqr: bool = False, sparse_p: bool = False):
+    """Separated-operand-scanning Montgomery product accumulated IN PLACE in
+    a (2L+1, B) VMEM scratch ref -- the experiment for the ROADMAP's
+    suspected per-pass shift-down-concatenate overhead: products and m*p
+    terms are added at their natural row offsets via sliced read-modify-
+    write, so there is no shift-down, no zero-row assembly, and processed
+    low columns are zeroed as their carry is extracted (the final low half
+    needs no carry chain at all).
+
+    Overflow: between sweeps a column gains <= 4 products per pass
+    (< 2^28.1); sweeping the whole scratch every 2 passes keeps columns
+    < 2^14 + 2*2^28.1 < 2^29.2.  Pallas kernels only (needs a mutable ref);
+    the interpret path serves CPU tests.
+    """
+    import jax.experimental.pallas as pl
+
+    L = fc.n_limbs
+    assert L % 2 == 0
+    B = a.shape[1]
+    n0 = jnp.int32(fc.n0_inv)
+    p_col = _col(fc.p_limbs)
+    blocks = _p_blocks(fc) if sparse_p else [(0, L)]
+    block_cols = [(off, blen, _col(fc.p_limbs[off : off + blen]))
+                  for off, blen in blocks]
+
+    def add_mp(m, base):
+        """t_ref[base + off : ...] += m * p_block for each dense block."""
+        for off, blen, bcol in block_cols:
+            sl = pl.ds(base + off, blen)
+            t_ref[sl, :] = t_ref[sl, :] + m * bcol
+
+    rows = 2 * L + 1
+    t_ref[...] = jnp.zeros((rows, B), dtype=jnp.int32)
+    carry = None
+    for i in range(0, L, 2):
+        if sqr:
+            prod0 = a[i] * a[i:]  # columns [2i, L+i)
+            if i + 1 < L:
+                prod0 = jnp.concatenate(
+                    [prod0[:1], prod0[1:] + prod0[1:]], axis=0
+                )  # double off-diagonal
+            sl = pl.ds(2 * i, L - i)
+            t_ref[sl, :] = t_ref[sl, :] + prod0
+            prod1 = a[i + 1] * a[i + 1 :]  # columns [2i+2, L+i+1)
+            if i + 2 < L:
+                prod1 = jnp.concatenate(
+                    [prod1[:1], prod1[1:] + prod1[1:]], axis=0
+                )
+            sl = pl.ds(2 * i + 2, L - i - 1)
+            t_ref[sl, :] = t_ref[sl, :] + prod1
+        else:
+            sl = pl.ds(i, L)
+            t_ref[sl, :] = t_ref[sl, :] + a[i] * b
+            sl = pl.ds(i + 1, L)
+            t_ref[sl, :] = t_ref[sl, :] + a[i + 1] * b
+        col = t_ref[i] if carry is None else t_ref[i] + carry
+        m0 = (col * n0) & LIMB_MASK  # pre-multiply mask elided (wrap-exact)
+        add_mp(m0, i)
+        col = t_ref[i] if carry is None else t_ref[i] + carry
+        carry = col >> LIMB_BITS  # column i divisible by 2^13
+        col = t_ref[i + 1] + carry
+        m1 = (col * n0) & LIMB_MASK
+        add_mp(m1, i + 1)
+        carry = (t_ref[i + 1] + carry) >> LIMB_BITS
+        t_ref[pl.ds(i, 2), :] = jnp.zeros((2, B), dtype=jnp.int32)
+        if (i // 2 + 1) % 2 == 0 and i + 2 < L:
+            t_ref[...] = _sweep_keep_top(t_ref[...])
+    # result = rows [L, 2L] + carry into row L; low half is all zeros
+    H = t_ref[pl.ds(L, L + 1), :]
+    H = jnp.concatenate([H[:1] + carry, H[1:]], axis=0)
+    H = _sweep_keep_top(_sweep_keep_top(H))
+    out = H[:L]
+    if lazy:
+        return out
+    z, c2 = _carry_chain([out[i] for i in range(L)])
+    first = _cond_sub_p(z, c2, fc)
+    return _cond_sub_p(_rows(first), None, fc)
 
 
 # --------------------------------------------------------------------------

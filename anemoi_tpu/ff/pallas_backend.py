@@ -218,14 +218,20 @@ def _fconst_operand(fc: FieldConsts) -> np.ndarray:
 _FCONST_ROWS = 5
 
 
-def _kernel_fc(fc: FieldConsts, fconst_ref) -> FieldConsts:
-    return fc._replace(
+def _kernel_fc(fc: FieldConsts, fconst_ref, mxu_refs=None) -> FieldConsts:
+    fc = fc._replace(
         p_limbs=fconst_ref[0, :],
         one_mont=fconst_ref[1, :],
         beta_mont=fconst_ref[2, :],
         delta_mont=fconst_ref[3, :],
         pprime_limbs=fconst_ref[4, :],
     )
+    if mxu_refs is not None:
+        from .mxu_ops import MxuConsts
+
+        wpp_ref, wp_ref = mxu_refs
+        fc = fc._replace(mxu=MxuConsts(w_pprime=wpp_ref[...], w_p=wp_ref[...]))
+    return fc
 
 
 def _digits_operand(fc: FieldConsts) -> np.ndarray:
@@ -267,8 +273,18 @@ def permutation_pallas(
     digits = _digits_operand(fc)
     fconst = _fconst_operand(fc)
 
-    def kernel(fconst_ref, cd_ref, digits_ref, in_ref, out_ref, table_ref):
-        kfc = _kernel_fc(fc, fconst_ref)
+    mxu_ops_arrays = (
+        (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
+        if fc.mul_impl == "mxu" else None
+    )
+
+    def kernel(fconst_ref, cd_ref, digits_ref, *rest):
+        if mxu_ops_arrays is not None:
+            wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
+            kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
+        else:
+            in_ref, out_ref, table_ref = rest
+            kfc = _kernel_fc(fc, fconst_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         parts = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for w in range(width):
@@ -280,23 +296,31 @@ def permutation_pallas(
         n_pad = -(-n // block_b) * block_b
         if n_pad != n:
             states = jnp.pad(states, ((0, 0), (0, n_pad - n)))
+        in_specs = [
+            pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands = [jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits)]
+        if mxu_ops_arrays is not None:
+            for w in mxu_ops_arrays:
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                operands.append(jnp.asarray(w))
+        in_specs.append(pl.BlockSpec((width * L, block_b), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(states)
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // block_b,),
-            in_specs=[
-                pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((width * L, block_b), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width * L, n_pad), jnp.int32),
             scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
-        )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+        )(*operands)
         return out if n_pad == n else out[:, :n]
 
     return run
@@ -327,8 +351,18 @@ def jive_pallas(
     digits = _digits_operand(fc)
     fconst = _fconst_operand(fc)
 
-    def kernel(fconst_ref, cd_ref, digits_ref, in_ref, out_ref, table_ref):
-        kfc = _kernel_fc(fc, fconst_ref)
+    mxu_ops_arrays = (
+        (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
+        if fc.mul_impl == "mxu" else None
+    )
+
+    def kernel(fconst_ref, cd_ref, digits_ref, *rest):
+        if mxu_ops_arrays is not None:
+            wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
+            kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
+        else:
+            in_ref, out_ref, table_ref = rest
+            kfc = _kernel_fc(fc, fconst_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         post = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for i in range(c):
@@ -344,23 +378,31 @@ def jive_pallas(
         n_pad = -(-n // block_b) * block_b
         if n_pad != n:
             states = jnp.pad(states, ((0, 0), (0, n_pad - n)))
+        in_specs = [
+            pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands = [jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits)]
+        if mxu_ops_arrays is not None:
+            for w in mxu_ops_arrays:
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                operands.append(jnp.asarray(w))
+        in_specs.append(pl.BlockSpec((width * L, block_b), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(states)
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // block_b,),
-            in_specs=[
-                pl.BlockSpec((_FCONST_ROWS, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((width * L, block_b), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c * L, n_pad), jnp.int32),
             scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
             interpret=interpret,
-        )(jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits), states)
+        )(*operands)
         return out if n_pad == n else out[:, :n]
 
     return run

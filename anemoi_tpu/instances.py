@@ -115,6 +115,13 @@ class AnemoiInstance:
         out = golden.merge(self.params, list(d0), list(d1))
         return Digest(tuple(out), self)
 
+    def merge_reference_quirk(self, d0: Digest, d1: Digest) -> Digest:
+        """Bit-compatible with the reference's 4_3 merge, which absorbs
+        digests[0] twice (apparent upstream bug, untested there; reference
+        vesta/anemoi_4_3/hasher.rs:136-137 -- see SURVEY.md 2.2-9)."""
+        out = golden.merge_reference_quirk(self.params, list(d0), list(d1))
+        return Digest(tuple(out), self)
+
     # ----- batched API (jit limb kernels) --------------------------------
 
     @cached_property

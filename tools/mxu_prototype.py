@@ -38,6 +38,33 @@ def chain_kernel(fc, impl, n_iter, block, interpret=False):
     fconst = np.stack([fc.p_limbs, fc.one_mont, fc.beta_mont, fc.delta_mont,
                        fc.pprime_limbs])
 
+    if impl in ("sos", "sosp"):
+        sparse = impl == "sosp"
+
+        def kernel(fconst_ref, in_ref, out_ref, t_ref):
+            kfc = fc._replace(p_limbs=fconst_ref[0, :],
+                              pprime_limbs=fconst_ref[4, :])
+
+            def body(i, acc):
+                return lo.mont_mul_sos_ref(acc, acc, kfc, t_ref, sqr=True,
+                                           sparse_p=sparse)
+
+            out_ref[...] = jax.lax.fori_loop(0, n_iter, body, in_ref[...])
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((L, block), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, block), jnp.int32)],
+                interpret=interpret,
+            )(jnp.asarray(fconst), x)
+
+        return run
+
     if impl == "mxu":
         def kernel(fconst_ref, wpp_ref, wp_ref, in_ref, out_ref):
             kfc = fc._replace(p_limbs=fconst_ref[0, :],
@@ -141,7 +168,7 @@ def main():
     fp = get_field(args.field)
     results = {}
     for impl in args.impls.split(","):
-        mul_impl = "cios2" if impl == "mxu" else impl
+        mul_impl = "cios2" if impl in ("mxu", "sos", "sosp") else impl
         fc = lo.field_consts(fp, mul_impl=mul_impl)
         if not args.skip_check:
             check_correct(fc, impl, min(args.block, 128), args.interpret)
