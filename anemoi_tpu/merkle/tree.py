@@ -53,20 +53,29 @@ def _level_fn(
 
         # Merkle levels are powers of the arity, so the tree stays in the
         # power-of-two world: a 512 block divides every chunk and level
-        # shape (the global default tile of 768 does not).
-        chunk = chunk_b or 512
-        kernel = jive_pallas(inst, k, block_b=min(chunk, 512))
+        # shape (the global default tile of 768 does not).  The kernel
+        # grids over the WHOLE level internally (VMEM holds one block at a
+        # time), so a level is exactly one kernel dispatch -- do NOT wrap
+        # tree.root in an outer jax.jit on this backend: that inlines one
+        # copy of the (straight-line-unrolled) kernel per level and the
+        # program size explodes (observed 3.3 GB at 2^24 leaves).
+        kernel = jive_pallas(inst, k, block_b=min(chunk_b or 512, 512))
 
-        def run_states(flat):  # (arity*L, n_nodes)
-            return kernel(flat)
+        def level(digests):
+            n_nodes = digests.shape[-1] // arity
+            states = jnp.stack(
+                [digests[:, w::arity] for w in range(arity)], axis=0
+            )
+            return kernel(states.reshape(arity * L, n_nodes))
 
-    else:
-        chunk = chunk_b or 2048
-        compress = jax.jit(jive_compress_batch_fn(inst, k))
+        return level
 
-        def run_states(flat):
-            n = flat.shape[-1]
-            return compress(flat.reshape(arity, L, n))[0]
+    chunk = chunk_b or 2048
+    compress = jax.jit(jive_compress_batch_fn(inst, k))
+
+    def run_states(flat):
+        n = flat.shape[-1]
+        return compress(flat.reshape(arity, L, n))[0]
 
     # smallest batch granularity (pallas: one grid block; never above chunk)
     min_b = min(chunk, 512)

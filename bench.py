@@ -138,13 +138,19 @@ def bench_merkle(field="vesta", iname="anemoi_2_1", n_leaves=1 << 20, block=None
     if not on_tpu:
         n_leaves = min(n_leaves, 1 << 10)
     tree = MerkleTree(
-        inst, backend="pallas" if on_tpu else "jit", chunk_b=1 << 14 if on_tpu else 256
+        inst, backend="pallas" if on_tpu else "jit", chunk_b=None if on_tpu else 256
     )
     rng = np.random.default_rng(0)
     leaves = jax.device_put(
         jnp.asarray(rng.integers(0, 1 << 12, size=(L, n_leaves), dtype=np.int32))
     )
-    run = jax.jit(lambda x: jnp.sum(tree.root(x)))
+    if on_tpu:
+        # NO outer jit: each level is one gridded kernel dispatch; jitting
+        # the whole tree would inline one kernel copy per level (3.3 GB
+        # programs at 2^24 leaves with the unrolled chain ladder)
+        run = lambda x: tree.root(x)
+    else:
+        run = jax.jit(lambda x: jnp.sum(tree.root(x)))
     np.asarray(run(leaves))
     dt = _timed(run, leaves, reps)
     return n_leaves / dt
