@@ -112,9 +112,10 @@ def _load_chain(field: str) -> tuple:
 def field_consts(
     fp: FieldParams, mul_impl: str = "cios", ladder: str = "fixed4"
 ) -> FieldConsts:
-    if ladder not in ("fixed4", "sw4", "chain"):
+    if ladder not in ("fixed4", "sw4", "chain", "chain2"):
         raise ValueError(
-            f"unknown ladder {ladder!r}; expected 'fixed4' | 'sw4' | 'chain'"
+            f"unknown ladder {ladder!r}; expected "
+            "'fixed4' | 'sw4' | 'chain' | 'chain2' (two-stream interleave)"
         )
     if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
@@ -145,7 +146,7 @@ def field_consts(
             dtype=np.int32,
         ),
         ladder=ladder,
-        chain_ops=_load_chain(fp.name) if ladder == "chain" else None,
+        chain_ops=(_load_chain(fp.name) if ladder.startswith("chain") else None),
     )
     if mul_impl == "mxu":
         from .mxu_ops import mxu_consts
@@ -815,19 +816,34 @@ def exp_inv_alpha_sw(x, fc: FieldConsts, *, unroll: bool = False):
     return canonicalize(acc, fc)
 
 
-def exp_inv_alpha_chain(x, fc: FieldConsts):
+def exp_inv_alpha_chain(x, fc: FieldConsts, *, streams: int = 1):
     """x^(1/alpha) via the reference's hand-derived per-field addition chain
     (reference: src/<field>/sbox.rs:28-322, transcribed as schedule data by
     tools/extract_addition_chains.py): straight-line sqr/mul register ops in
     the lazy domain, ~5-8% fewer Montgomery products than the sliding-window
-    ladder (vesta: 293 vs ~315) and no dynamic table indexing at all."""
-    regs = {0: x}
+    ladder (vesta: 293 vs ~315) and no dynamic table indexing at all.
+
+    streams=2 splits the batch in half and interleaves the two independent
+    op chains in program order -- total work is unchanged, but the compiler
+    sees two dependency chains and can overlap one stream's MXU matmuls
+    (mul_impl="mxu") or long-latency ops with the other's VPU work."""
+    B = x.shape[1]
+    if streams > 1 and B % streams == 0:
+        xs = [x[:, s * (B // streams) : (s + 1) * (B // streams)]
+              for s in range(streams)]
+    else:
+        xs = [x]
+    regs = [{0: xp} for xp in xs]
     for op in fc.chain_ops:
-        if op[0] == "sqr":
-            regs[op[1]] = mont_sqr(regs[op[2]], fc, lazy=True)
-        else:
-            regs[op[1]] = mont_mul(regs[op[2]], regs[op[3]], fc, lazy=True)
-    return canonicalize(regs[fc.chain_ops[-1][1]], fc)
+        for r in regs:
+            if op[0] == "sqr":
+                r[op[1]] = mont_sqr(r[op[2]], fc, lazy=True)
+            else:
+                r[op[1]] = mont_mul(r[op[2]], r[op[3]], fc, lazy=True)
+    out_reg = fc.chain_ops[-1][1]
+    outs = [r[out_reg] for r in regs]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return canonicalize(out, fc)
 
 
 def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
@@ -845,8 +861,10 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """
     if fc.ladder == "sw4":
         return exp_inv_alpha_sw(x, fc, unroll=unroll)
-    if fc.ladder == "chain":
-        return exp_inv_alpha_chain(x, fc)
+    if fc.ladder.startswith("chain"):
+        return exp_inv_alpha_chain(
+            x, fc, streams=2 if fc.ladder == "chain2" else 1
+        )
     # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
     # the lazy [0, 2p) domain, canonicalized once at the end.
     one = jnp.broadcast_to(_col(fc.one_mont), x.shape)

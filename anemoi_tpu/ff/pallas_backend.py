@@ -97,9 +97,11 @@ def _exp_inv_alpha_sw_kernel(x, fc: FieldConsts, sched_ref, table_ref):
 
 def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
-    if fc.ladder == "chain":
+    if fc.ladder.startswith("chain"):
         # straight-line register schedule; no table, no dynamic slicing
-        return lo.exp_inv_alpha_chain(x, fc)
+        return lo.exp_inv_alpha_chain(
+            x, fc, streams=2 if fc.ladder == "chain2" else 1
+        )
     if fc.ladder == "sw4":
         return _exp_inv_alpha_sw_kernel(x, fc, digits_ref, table_ref)
     L = fc.n_limbs
@@ -238,7 +240,7 @@ def _digits_operand(fc: FieldConsts) -> np.ndarray:
     """SMEM schedule operand: base-16 digit string (fixed4), the (2, S)
     sliding-window schedule (sw4), or a placeholder (chain: the schedule is
     baked into the straight-line kernel body)."""
-    if fc.ladder == "chain":
+    if fc.ladder.startswith("chain"):
         return np.zeros((1,), dtype=np.int32)
     if fc.ladder == "sw4":
         return fc.sw_sched
@@ -246,7 +248,7 @@ def _digits_operand(fc: FieldConsts) -> np.ndarray:
 
 
 def _table_entries(fc: FieldConsts) -> int:
-    if fc.ladder == "chain":
+    if fc.ladder.startswith("chain"):
         return 1  # minimal (unused) scratch
     return 8 if fc.ladder == "sw4" else 16
 
