@@ -8,6 +8,10 @@ SQUARING chain (the S-box ladder's dominant op) with:
 
 Method: two fori_loop trip counts; per-iteration cost = slope, cancelling
 the ~30-50 ms tunnel dispatch overhead (ROADMAP.md experiment-log method).
+Trip counts must be large enough that per-dispatch compute (n_iter x
+~0.5-1.5 us) dwarfs tunnel jitter: with n1/n2 = 2k/6k the slope was
+observed to swing 40x between runs; the 50k/150k defaults put ~25-225 ms
+of compute per dispatch and stabilize it.
 
     python tools/mxu_prototype.py --block 512 --field vesta
     python tools/mxu_prototype.py --interpret   # CPU correctness smoke only
@@ -158,8 +162,8 @@ def main():
     ap.add_argument("--field", default="vesta")
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--impls", default="cios2,mxu")
-    ap.add_argument("--n1", type=int, default=2000)
-    ap.add_argument("--n2", type=int, default=6000)
+    ap.add_argument("--n1", type=int, default=50000)
+    ap.add_argument("--n2", type=int, default=150000)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--skip-check", action="store_true")
