@@ -76,6 +76,9 @@ class FieldConsts(NamedTuple):
     # host numpy outside kernels, rebound to traced VMEM refs inside
     # (pallas_backend._kernel_fc)
     mxu: object = None
+    # (2L+1, B) VMEM scratch ref for in-place bilinear conv accumulation
+    # (mul_impl="mxu2", Pallas kernels only; None -> tree-sum fallback)
+    sos_scratch: object = None
     # Host-side (python int) copies of p's digits.  Inside a Pallas kernel
     # p_limbs is rebound to a traced VMEM row (pallas_backend._kernel_fc);
     # the conditional-subtract/borrow fixup paths want per-limb *scalar*
@@ -117,12 +120,12 @@ def field_consts(
             f"unknown ladder {ladder!r}; expected "
             "'fixed4' | 'sw4' | 'chain' | 'chain2' (two-stream interleave)"
         )
-    if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu") and not (
+    if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu", "mxu2") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
     ):
         raise ValueError(
             f"unknown mul_impl {mul_impl!r}; expected "
-            "cios | cios2 | cios2s | cios<k> | parallel | mxu"
+            "cios | cios2 | cios2s | cios<k> | parallel | mxu | mxu2"
         )
     L = fp.n_limbs
     R = 1 << (LIMB_BITS * L)
@@ -148,7 +151,7 @@ def field_consts(
         ladder=ladder,
         chain_ops=(_load_chain(fp.name) if ladder.startswith("chain") else None),
     )
-    if mul_impl == "mxu":
+    if mul_impl.startswith("mxu"):
         from .mxu_ops import mxu_consts
 
         fc = fc._replace(mxu=mxu_consts(fc))
@@ -317,10 +320,11 @@ def mont_mul(a, b, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, b, fc, lazy=lazy)
-    if fc.mul_impl == "mxu":
+    if fc.mul_impl.startswith("mxu"):
         from .mxu_ops import mont_mul_mxu
 
-        return mont_mul_mxu(a, b, fc.mxu, fc, lazy=lazy)
+        return mont_mul_mxu(a, b, fc.mxu, fc, lazy=lazy,
+                            scratch=fc.sos_scratch)
     if fc.mul_impl in ("cios2", "cios2s"):
         return mont_mul_cios2(a, b, fc, lazy=lazy)
     if fc.mul_impl.startswith("cios") and fc.mul_impl not in ("cios", "cios2"):
@@ -600,10 +604,11 @@ def mont_sqr(a, fc: FieldConsts, *, lazy: bool = False):
     """
     if fc.mul_impl == "parallel":
         return mont_mul_parallel(a, a, fc, lazy=lazy)
-    if fc.mul_impl == "mxu":
+    if fc.mul_impl.startswith("mxu"):
         from .mxu_ops import mont_sqr_mxu
 
-        return mont_sqr_mxu(a, fc.mxu, fc, lazy=lazy)
+        return mont_sqr_mxu(a, fc.mxu, fc, lazy=lazy,
+                            scratch=fc.sos_scratch)
     if fc.mul_impl == "cios2s":
         return mont_sqr_cios2(a, fc, lazy=lazy)
     if fc.mul_impl == "cios2":

@@ -138,17 +138,50 @@ def _conv1_mul(a, b, L: int):
     return lo._tree_sum(parts)
 
 
+def _conv1_sos(a, b, L: int, t_ref, sqr: bool):
+    """Bilinear conv accumulated in a (2L+1, B) VMEM scratch ref: products
+    land at their natural row offsets via sliced read-modify-write -- no
+    zero-padded tree-sum (which materializes ~2L full-height intermediate
+    arrays).  Pallas kernels only."""
+    import jax.experimental.pallas as pl
+
+    B = a.shape[1]
+    t_ref[...] = jnp.zeros((2 * L + 1, B), dtype=jnp.int32)
+    for i in range(L):
+        if sqr:
+            prod = a[i] * a[i:]  # rows [2i, L+i)
+            if i + 1 < L:
+                prod = jnp.concatenate([prod[:1], prod[1:] + prod[1:]], axis=0)
+            sl = pl.ds(2 * i, L - i)
+        else:
+            prod = a[i] * b  # rows [i, i+L)
+            sl = pl.ds(i, L)
+        t_ref[sl, :] = t_ref[sl, :] + prod
+        if (i + 1) % 8 == 0 and i + 1 < L:
+            # columns gain <= 2 products (< 2^27.1) per pass; sweep every 8
+            # keeps them < 2^14 + 8*2^27.1 < 2^30.2
+            t_ref[...] = lo._sweep_keep_top(t_ref[...])
+    return t_ref[...]
+
+
 def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
-                 sqr: bool = False):
+                 sqr: bool = False, scratch=None):
     """Montgomery product with constant convs on the MXU; lazy domain [0, 3p).
 
     Same value flow as limb_ops.mont_mul_parallel (see its derivation);
-    digits of a/b may be relaxed (<= 2^13 + 2^4).
+    digits of a/b may be relaxed (<= 2^13 + 2^4).  With `scratch` (a
+    (2L+1, >=B) VMEM ref, Pallas only) the bilinear conv accumulates in
+    place instead of tree-summing zero-padded parts.
     """
     L = fc.n_limbs
 
     # bilinear product conv (VPU): columns <= L * 2^26.3 < 2^31
-    T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
+    if scratch is not None:
+        B = a.shape[1]
+        t_ref = scratch.at[:, 0:B] if scratch.shape[1] != B else scratch
+        T = _conv1_sos(a, b, L, t_ref, sqr)
+    else:
+        T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
     T = lo._sweep_keep_top(lo._sweep_keep_top(T))
 
     # M = trunc_L(T_low (*) p'): one MXU matmul; value == m + jR, j in {0,1}
@@ -179,5 +212,6 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
     return lo._cond_sub_p(lo._rows(first), None, fc)
 
 
-def mont_sqr_mxu(a, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True):
-    return mont_mul_mxu(a, a, mc, fc, lazy=lazy, sqr=True)
+def mont_sqr_mxu(a, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
+                 scratch=None):
+    return mont_mul_mxu(a, a, mc, fc, lazy=lazy, sqr=True, scratch=scratch)

@@ -277,16 +277,21 @@ def permutation_pallas(
 
     mxu_ops_arrays = (
         (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
-        if fc.mul_impl == "mxu" else None
+        if fc.mul_impl.startswith("mxu") else None
     )
+    with_sos = fc.mul_impl == "mxu2"
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
+        rest = list(rest)
+        sos_ref = rest.pop() if with_sos else None
         if mxu_ops_arrays is not None:
             wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
             kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
         else:
             in_ref, out_ref, table_ref = rest
             kfc = _kernel_fc(fc, fconst_ref)
+        if sos_ref is not None:
+            kfc = kfc._replace(sos_scratch=sos_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         parts = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for w in range(width):
@@ -320,7 +325,11 @@ def permutation_pallas(
             out_specs=pl.BlockSpec((width * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((width * L, n_pad), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
+            scratch_shapes=(
+                [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((2 * L + 1, inst.columns * block_b), jnp.int32)]
+                   if with_sos else [])
+            ),
             interpret=interpret,
         )(*operands)
         return out if n_pad == n else out[:, :n]
@@ -355,16 +364,21 @@ def jive_pallas(
 
     mxu_ops_arrays = (
         (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
-        if fc.mul_impl == "mxu" else None
+        if fc.mul_impl.startswith("mxu") else None
     )
+    with_sos = fc.mul_impl == "mxu2"
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
+        rest = list(rest)
+        sos_ref = rest.pop() if with_sos else None
         if mxu_ops_arrays is not None:
             wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
             kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
         else:
             in_ref, out_ref, table_ref = rest
             kfc = _kernel_fc(fc, fconst_ref)
+        if sos_ref is not None:
+            kfc = kfc._replace(sos_scratch=sos_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         post = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for i in range(c):
@@ -402,7 +416,11 @@ def jive_pallas(
             out_specs=pl.BlockSpec((c * L, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c * L, n_pad), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)],
+            scratch_shapes=(
+                [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((2 * L + 1, inst.columns * block_b), jnp.int32)]
+                   if with_sos else [])
+            ),
             interpret=interpret,
         )(*operands)
         return out if n_pad == n else out[:, :n]
