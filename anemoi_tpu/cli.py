@@ -1,14 +1,20 @@
 """Command-line interface.
 
-    python -m anemoi_tpu.cli hash   --field vesta --instance anemoi_2_1 [FILE]
-    python -m anemoi_tpu.cli merkle --field vesta --instance anemoi_2_1 FILE
+    python -m anemoi_tpu.cli hash   [--backend auto|pallas|jit|golden] [FILE...]
+    python -m anemoi_tpu.cli merkle [--backend auto|pallas|jit] FILE
     python -m anemoi_tpu.cli vectors [--full]
     python -m anemoi_tpu.cli info
 
-`hash` sponge-hashes FILE (or stdin) and prints the digest hex.
+`hash` sponge-hashes each FILE (or stdin) and prints one digest hex per
+line.  Multiple files of arbitrary (different) lengths are batched through
+the length-bucketing device dispatcher (modes.bytes_pipeline) on the
+selected backend; --backend golden forces the scalar oracle.
 `merkle` chunks FILE into field elements, pads to a power of the arity,
-builds the Merkle tree on the attached backend and prints the root.
+builds the Merkle tree on the selected backend and prints the root.
 `vectors` runs the golden model against every extracted SAGE vector.
+
+Backend `auto` (default) uses the fused Pallas kernels when a TPU is
+attached and the jit limb backend otherwise.
 """
 
 from __future__ import annotations
@@ -23,15 +29,36 @@ def _get_instance(args):
     return get_instance(args.field, args.instance)
 
 
+def _resolve_backend(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+
+    return "pallas" if jax.default_backend() != "cpu" else "jit"
+
+
 def cmd_hash(args):
     from .ff import golden
 
     inst = _get_instance(args)
-    data = (
-        sys.stdin.buffer.read() if args.file in (None, "-") else open(args.file, "rb").read()
-    )
-    digest = golden.hash_bytes(inst, data)
-    print(golden.digest_to_bytes(inst, digest).hex())
+    if args.file:
+        msgs = [open(f, "rb").read() for f in args.file]
+    else:
+        msgs = [sys.stdin.buffer.read()]
+    backend = _resolve_backend(args.backend)
+    if backend == "golden":
+        for m in msgs:
+            print(golden.digest_to_bytes(inst, golden.hash_bytes(inst, m)).hex())
+        return
+    import jax
+
+    from .modes.batched import digest_export_fn, digests_to_bytes
+    from .modes.bytes_pipeline import hash_bytes_mixed
+
+    digests = hash_bytes_mixed(inst, msgs, backend=backend)
+    canon = jax.jit(digest_export_fn(inst))(digests)
+    for b in digests_to_bytes(inst, canon):
+        print(b.hex())
 
 
 def cmd_merkle(args):
@@ -52,7 +79,10 @@ def cmd_merkle(args):
         n *= inst.width
     elems += [0] * (n - len(elems))
     leaves = encode_ints(elems, fp)  # Montgomery (L, N)
-    tree = MerkleTree(inst, chunk_b=min(1024, n))
+    backend = _resolve_backend(args.backend)
+    if backend == "golden":
+        backend = "jit"
+    tree = MerkleTree(inst, backend=backend, chunk_b=min(1024, n))
     root = tree.root(leaves)
     root_int = decode_ints(np.asarray(root), fp)[0]
     print(golden.digest_to_bytes(inst, [root_int]).hex())
@@ -100,8 +130,13 @@ def main(argv=None):
         if name in ("hash", "merkle"):
             p.add_argument("--field", default="vesta")
             p.add_argument("--instance", default="anemoi_2_1")
+            p.add_argument(
+                "--backend", default="auto",
+                choices=["auto", "pallas", "jit", "golden"],
+                help="auto = pallas on TPU, jit on CPU",
+            )
         if needs_file == "?":
-            p.add_argument("file", nargs="?")
+            p.add_argument("file", nargs="*")
         elif needs_file == 1:
             p.add_argument("file")
 

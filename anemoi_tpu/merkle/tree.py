@@ -51,15 +51,15 @@ def _level_fn(
     if backend == "pallas":
         from ..ff.pallas_backend import jive_pallas
 
-        # Merkle levels are powers of the arity, so the tree stays in the
-        # power-of-two world: a 512 block divides every chunk and level
-        # shape (the global default tile of 768 does not).  The kernel
-        # grids over the WHOLE level internally (VMEM holds one block at a
-        # time), so a level is exactly one kernel dispatch -- do NOT wrap
-        # tree.root in an outer jax.jit on this backend: that inlines one
-        # copy of the (straight-line-unrolled) kernel per level and the
-        # program size explodes (observed 3.3 GB at 2^24 leaves).
-        kernel = jive_pallas(inst, k, block_b=min(chunk_b or 512, 512))
+        # The kernel pads any level up to a block multiple internally and
+        # grids over the WHOLE level (VMEM holds one block at a time), so a
+        # level is exactly one kernel dispatch and the per-instance
+        # measured block default applies (mxu wants large blocks; the pad
+        # waste on the small top levels is < block nodes per level).  Do
+        # NOT wrap tree.root in an outer jax.jit on this backend: that
+        # inlines one copy of the (straight-line-unrolled) kernel per level
+        # and the program size explodes (observed 3.3 GB at 2^24 leaves).
+        kernel = jive_pallas(inst, k, block_b=chunk_b)
 
         def level(digests):
             n_nodes = digests.shape[-1] // arity
@@ -163,6 +163,20 @@ class MerkleTree:
                     level = np.load(f)
                     start = lv
                     break
+            if return_levels and start > 0:
+                # A resumed run must return the SAME levels list a fresh run
+                # would (proofs walk every level): rebuild levels 1..start
+                # from the persisted files instead of silently returning a
+                # truncated list.
+                for lv in range(1, start + 1):
+                    f = ckpt / f"level_{lv}.npy"
+                    if not f.exists():
+                        raise FileNotFoundError(
+                            f"checkpoint resume with return_levels=True needs "
+                            f"every level file up to the resume point; "
+                            f"missing {f}"
+                        )
+                    levels.append(np.load(f))
         for lv in range(start, n_levels):
             level = self._level(level)
             if return_levels:

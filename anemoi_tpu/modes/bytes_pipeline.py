@@ -53,8 +53,53 @@ def hash_bytes_batch(
     modes.batched.decode_states, or chain directly into a Merkle forest).
     """
     elems = pack_messages(inst, messages)  # canonical (E, L, B)
+    return _hash_packed(inst, elems, backend)
+
+
+def _hash_packed(inst: InstanceParams, elems: np.ndarray, backend: str):
     E, L, B = elems.shape
     # fold E into the batch axis for one domain-conversion call
     folded = jnp.asarray(elems).transpose(1, 0, 2).reshape(L, E * B)
     mont = _to_mont_fn(inst)(folded).reshape(L, E, B).transpose(1, 0, 2)
     return _sponge_fn(inst, E, backend)(mont)
+
+
+def hash_bytes_mixed(
+    inst: InstanceParams, messages: list, *, backend: str = "jit"
+):
+    """Hash a batch of ARBITRARY-length byte messages on the device.
+
+    The compiled sponge is specialized only on the element count E, so the
+    host dispatcher buckets messages by E (= ceil(len/byte_chunk), the
+    reference's chunking -- src/vesta/anemoi_4_3/hasher.rs:18-58), packs
+    each bucket with the native loader, dispatches one device call per
+    bucket through the lru-cached per-E sponges, and scatters the digests
+    back into input order.
+
+    Returns int32[DIGEST, L, len(messages)] Montgomery-form digests in the
+    original message order.
+    """
+    from ..ff import native
+
+    fp = inst.field
+    L = fp.n_limbs
+    packed = [native.pack_bytes(m, fp) for m in messages]  # (E_i, L) each
+    buckets: dict[int, list[int]] = {}
+    for idx, p in enumerate(packed):
+        buckets.setdefault(p.shape[0], []).append(idx)
+
+    out = np.zeros((inst.digest_size, L, len(messages)), dtype=np.int32)
+    # all-device dispatch first (per bucket), fetch after: the buckets'
+    # sponge calls overlap on the device via async dispatch
+    pending = []
+    for E, idxs in sorted(buckets.items()):
+        if E == 0:  # empty messages: zero elements absorbed
+            elems = np.zeros((0, L, len(idxs)), dtype=np.int32)
+        else:
+            elems = np.ascontiguousarray(
+                np.stack([packed[i] for i in idxs]).transpose(1, 2, 0)
+            )  # (E, L, B)
+        pending.append((idxs, _hash_packed(inst, elems, backend)))
+    for idxs, dev in pending:
+        out[:, :, idxs] = np.asarray(dev)
+    return out

@@ -26,6 +26,18 @@ from ..permutation.batched import permutation_fn
 
 
 @lru_cache(maxsize=64)
+def _finalize_perm_fn(inst: InstanceParams, backend: str, block_b: int):
+    """One compiled bare permutation for the sigma=0 finalize path.
+
+    Cached like _absorb_block_fn: constructing jax.jit(permutation_fn(...))
+    inside finalize would retrace/recompile on every stream finalization
+    (the retrace-per-call bug class fixed for merge in instances.py)."""
+    if backend == "pallas":
+        return jax.jit(_pallas_perm(inst, block_b))
+    return jax.jit(permutation_fn(inst))
+
+
+@lru_cache(maxsize=64)
 def _absorb_block_fn(inst: InstanceParams, backend: str, block_b: int):
     """One compiled step: add a rate-block into the state and permute."""
     fc = field_consts(inst.field)
@@ -107,13 +119,8 @@ class BatchedSponge:
         else:
             state = state.at[T].set(lo.add_mod(state[T], one, fc))
             # one final permutation via a single zero block would add into
-            # the rate; permute directly instead
-            perm = jax.jit(
-                permutation_fn(inst)
-                if self.backend != "pallas"
-                else (lambda s: _pallas_perm(inst, self.block_b)(s))
-            )
-            state = perm(state)
+            # the rate; permute directly instead (cached compiled fn)
+            state = _finalize_perm_fn(inst, self.backend, self.block_b)(state)
         return state[: inst.digest_size]
 
 

@@ -1,0 +1,64 @@
+"""CLI end-to-end: hash (batched mixed-length device path) and merkle
+backends agree with the golden oracle."""
+
+import numpy as np
+import pytest
+
+from anemoi_tpu import cli
+from anemoi_tpu.ff import golden
+from anemoi_tpu.fields.params import get_instance
+
+pytest.importorskip("anemoi_tpu.ff.native")
+
+
+def _run_cli(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_cli_hash_mixed_files_jit_matches_golden(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    files = []
+    for i, n in enumerate([10, 62, 100]):
+        f = tmp_path / f"m{i}.bin"
+        f.write_bytes(bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist()))
+        files.append(str(f))
+    out = _run_cli(
+        capsys,
+        ["hash", "--field", "vesta", "--instance", "anemoi_4_3",
+         "--backend", "jit"] + files,
+    )
+    inst = get_instance("vesta", "anemoi_4_3")
+    want = [
+        golden.digest_to_bytes(
+            inst, golden.hash_bytes(inst, open(f, "rb").read())
+        ).hex()
+        for f in files
+    ]
+    assert out == want
+
+
+def test_cli_merkle_jit_matches_golden_reduction(tmp_path, capsys):
+    from anemoi_tpu.ff import native
+    from anemoi_tpu.fields.params import int_from_limbs
+
+    rng = np.random.default_rng(1)
+    f = tmp_path / "data.bin"
+    f.write_bytes(bytes(rng.integers(0, 256, size=300, dtype=np.uint8).tolist()))
+    out = _run_cli(capsys, ["merkle", "--backend", "jit", str(f)])
+
+    inst = get_instance("vesta", "anemoi_2_1")
+    fp = inst.field
+    packed = native.pack_bytes(f.read_bytes(), fp)
+    level = [int_from_limbs(packed[i]) % fp.p for i in range(packed.shape[0])]
+    n = inst.width
+    while n < len(level):
+        n *= inst.width
+    level += [0] * (n - len(level))
+    while len(level) > 1:
+        level = [
+            golden.jive_compress_k(inst, level[i : i + inst.width], 2)[0]
+            for i in range(0, len(level), inst.width)
+        ]
+    want = golden.digest_to_bytes(inst, [level[0]]).hex()
+    assert out == [want]

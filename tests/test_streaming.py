@@ -60,3 +60,31 @@ def test_streaming_sponge_rate1():
     sponge.absorb(arr)
     out = np.asarray(sponge.finalize())
     assert bm.decode_states(inst, out) == [golden.hash_field(inst, m) for m in msgs]
+
+
+def test_finalize_sigma0_uses_cached_permutation():
+    """Regression: the sigma=0 finalize path used to construct a fresh
+    jax.jit(permutation_fn(...)) per call (one recompile per stream
+    finalization); it must go through the lru-cached _finalize_perm_fn."""
+    from anemoi_tpu.modes.streaming import _finalize_perm_fn
+
+    inst = get_instance("vesta", "anemoi_4_3")
+    fp = inst.field
+    rng = np.random.default_rng(2)
+    before = _finalize_perm_fn.cache_info()
+    for _ in range(2):
+        msgs = [[int(rng.integers(0, 2**62)) for _ in range(4)] for _ in range(2)]
+        sponge = BatchedSponge(inst, batch=2)
+        arr = np.stack(
+            [bm.lo.encode_ints([m[e] for m in msgs], fp) for e in range(3)]
+        )
+        sponge.absorb(arr)
+        tail = np.stack([bm.lo.encode_ints([m[3] for m in msgs], fp)])
+        out = np.asarray(sponge.finalize(tail))
+        assert bm.decode_states(inst, out) == [
+            golden.hash_field(inst, m) for m in msgs
+        ]
+    after = _finalize_perm_fn.cache_info()
+    # one distinct (inst, backend, block) key -> at most one new cache entry
+    assert after.currsize - before.currsize <= 1
+    assert after.hits > before.hits
