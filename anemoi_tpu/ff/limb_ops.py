@@ -115,10 +115,12 @@ def _load_chain(field: str) -> tuple:
 def field_consts(
     fp: FieldParams, mul_impl: str = "cios", ladder: str = "fixed4"
 ) -> FieldConsts:
-    if ladder not in ("fixed4", "sw4", "chain", "chain2"):
+    if ladder not in ("fixed4", "sw4", "chain", "chain2", "chain3"):
         raise ValueError(
             f"unknown ladder {ladder!r}; expected "
-            "'fixed4' | 'sw4' | 'chain' | 'chain2' (two-stream interleave)"
+            "'fixed4' | 'sw4' | 'chain' | 'chain2'/'chain3' "
+            "(multi-stream interleave; with mul_impl='mxu*' the streams' "
+            "constant convs fuse into block-diagonal MXU matmuls)"
         )
     if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu", "mxu2") and not (
         mul_impl.startswith("cios") and mul_impl[4:].isdigit()
@@ -154,8 +156,13 @@ def field_consts(
     if mul_impl.startswith("mxu"):
         from .mxu_ops import mxu_consts
 
-        fc = fc._replace(mxu=mxu_consts(fc))
+        fc = fc._replace(mxu=mxu_consts(fc, streams=chain_streams(ladder)))
     return fc
+
+
+def chain_streams(ladder: str) -> int:
+    """Stream count encoded in the ladder name (chain2 -> 2, chain3 -> 3)."""
+    return int(ladder[5:]) if ladder.startswith("chain") and ladder[5:] else 1
 
 
 def _col(v):
@@ -828,10 +835,14 @@ def exp_inv_alpha_chain(x, fc: FieldConsts, *, streams: int = 1):
     the lazy domain, ~5-8% fewer Montgomery products than the sliding-window
     ladder (vesta: 293 vs ~315) and no dynamic table indexing at all.
 
-    streams=2 splits the batch in half and interleaves the two independent
-    op chains in program order -- total work is unchanged, but the compiler
-    sees two dependency chains and can overlap one stream's MXU matmuls
-    (mul_impl="mxu") or long-latency ops with the other's VPU work."""
+    streams=2/3 splits the batch into equal slices and interleaves the
+    independent op chains in program order -- total work is unchanged, but
+    the compiler sees multiple dependency chains and can overlap one
+    stream's MXU matmuls (mul_impl="mxu") or long-latency ops with another
+    stream's VPU work.  With mul_impl="mxu*" the streams' constant convs
+    additionally FUSE into one block-diagonal matmul per conv
+    (mxu_ops.mont_mul_mxu_multi): contraction K = streams*2L instead of 2L,
+    the K>=128 MXU-feeding experiment."""
     B = x.shape[1]
     if streams > 1 and B % streams == 0:
         xs = [x[:, s * (B // streams) : (s + 1) * (B // streams)]
@@ -839,12 +850,34 @@ def exp_inv_alpha_chain(x, fc: FieldConsts, *, streams: int = 1):
     else:
         xs = [x]
     regs = [{0: xp} for xp in xs]
-    for op in fc.chain_ops:
-        for r in regs:
+    fused = (
+        len(regs) > 1
+        and fc.mul_impl.startswith("mxu")
+        and fc.mxu is not None
+        and getattr(fc.mxu, "w_pprime_bd", None) is not None
+        and fc.mxu.streams == len(regs)
+    )
+    if fused:
+        from .mxu_ops import mont_mul_mxu_multi
+
+        for op in fc.chain_ops:
             if op[0] == "sqr":
-                r[op[1]] = mont_sqr(r[op[2]], fc, lazy=True)
+                vals = mont_mul_mxu_multi(
+                    [(r[op[2]], r[op[2]]) for r in regs], fc.mxu, fc, sqr=True
+                )
             else:
-                r[op[1]] = mont_mul(r[op[2]], r[op[3]], fc, lazy=True)
+                vals = mont_mul_mxu_multi(
+                    [(r[op[2]], r[op[3]]) for r in regs], fc.mxu, fc
+                )
+            for r, v in zip(regs, vals):
+                r[op[1]] = v
+    else:
+        for op in fc.chain_ops:
+            for r in regs:
+                if op[0] == "sqr":
+                    r[op[1]] = mont_sqr(r[op[2]], fc, lazy=True)
+                else:
+                    r[op[1]] = mont_mul(r[op[2]], r[op[3]], fc, lazy=True)
     out_reg = fc.chain_ops[-1][1]
     outs = [r[out_reg] for r in regs]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
@@ -867,9 +900,7 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     if fc.ladder == "sw4":
         return exp_inv_alpha_sw(x, fc, unroll=unroll)
     if fc.ladder.startswith("chain"):
-        return exp_inv_alpha_chain(
-            x, fc, streams=2 if fc.ladder == "chain2" else 1
-        )
+        return exp_inv_alpha_chain(x, fc, streams=chain_streams(fc.ladder))
     # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
     # the lazy [0, 2p) domain, canonicalized once at the end.
     one = jnp.broadcast_to(_col(fc.one_mont), x.shape)

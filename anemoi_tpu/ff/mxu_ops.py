@@ -60,6 +60,13 @@ class MxuConsts(NamedTuple):
 
     w_pprime: np.ndarray  # (3L, 2L) int8: truncated conv with p' digits
     w_p: np.ndarray  # (3*(2L-1), 2L) int8: full conv with p digits
+    # Block-diagonal stream-fused variants (ladder="chain2"/"chain3" with
+    # mul_impl="mxu*"): S independent streams' constant convs in ONE matmul
+    # with contraction K = S*2L (120 for 3 streams of a 255-bit field --
+    # the K>=128 experiment, ROADMAP/VERDICT r2 item 2).  None for S=1.
+    w_pprime_bd: np.ndarray | None = None  # (S*3(L+2), S*2L) int8
+    w_p_bd: np.ndarray | None = None  # (S*3(2L-1), S*2L) int8
+    streams: int = 1
 
 
 def _split_w(w: np.ndarray):
@@ -93,11 +100,27 @@ def _toeplitz_trunc(v: np.ndarray, L: int, rows: int) -> np.ndarray:
     return w
 
 
-def mxu_consts(fc: FieldConsts) -> MxuConsts:
+def _block_diag(w: np.ndarray, s: int) -> np.ndarray:
+    """s copies of w on the diagonal: independent streams, one matmul.
+    Output rows contract only over their own stream's K-rows, so the int8
+    overflow bounds of the single-stream matmul carry over unchanged."""
+    R, K = w.shape
+    out = np.zeros((s * R, s * K), dtype=w.dtype)
+    for i in range(s):
+        out[i * R : (i + 1) * R, i * K : (i + 1) * K] = w
+    return out
+
+
+def mxu_consts(fc: FieldConsts, streams: int = 1) -> MxuConsts:
     L = fc.n_limbs
+    w_pprime = _stack3(_toeplitz_trunc(np.asarray(fc.pprime_limbs), L, L + 2))
+    w_p = _stack3(_toeplitz_trunc(np.asarray(fc.p_limbs), L, 2 * L - 1))
     return MxuConsts(
-        w_pprime=_stack3(_toeplitz_trunc(np.asarray(fc.pprime_limbs), L, L + 2)),
-        w_p=_stack3(_toeplitz_trunc(np.asarray(fc.p_limbs), L, 2 * L - 1)),
+        w_pprime=w_pprime,
+        w_p=w_p,
+        w_pprime_bd=_block_diag(w_pprime, streams) if streams > 1 else None,
+        w_p_bd=_block_diag(w_p, streams) if streams > 1 else None,
+        streams=streams,
     )
 
 
@@ -176,10 +199,13 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
     L = fc.n_limbs
 
     # bilinear product conv (VPU): columns <= L * 2^26.3 < 2^31
-    if scratch is not None:
-        B = a.shape[1]
-        t_ref = scratch.at[:, 0:B] if scratch.shape[1] != B else scratch
-        T = _conv1_sos(a, b, L, t_ref, sqr)
+    # The scratch is only usable when its lane width matches this batch: a
+    # narrower `.at[:, 0:B]` sub-ref produces a (2L+1)-row memref slice that
+    # violates Mosaic's 8-row tile alignment (observed on 4_3's per-column
+    # beta-square muls, which run at block width while the ladder runs at
+    # columns*block).  Those few narrow muls fall back to the tree-sum conv.
+    if scratch is not None and scratch.shape[1] == a.shape[1]:
+        T = _conv1_sos(a, b, L, scratch, sqr)
     else:
         T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
     T = lo._sweep_keep_top(lo._sweep_keep_top(T))
@@ -192,12 +218,22 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
 
     # U = M (*) p: one MXU matmul, 2L-1 columns
     U = _conv_matmul(mc.w_p, _pieces(M), 2 * L - 1)
+    return _finish_high(T, U, fc, lazy)
 
+
+def mont_sqr_mxu(a, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
+                 scratch=None):
+    return mont_mul_mxu(a, a, mc, fc, lazy=lazy, sqr=True, scratch=scratch)
+
+
+def _finish_high(T, U, fc: FieldConsts, lazy: bool):
+    """Shared tail of the Montgomery product: add U into T, run the low
+    half's carry-out chain, normalize the high half."""
+    L = fc.n_limbs
     B = T.shape[1:]
     S = T + jnp.concatenate(
         [U, jnp.zeros((2, *B), dtype=jnp.int32)], axis=0
     )
-    # carry-out of the low half (divisible by R): the only serial chain
     carry = None
     for k in range(L):
         t = S[k] if carry is None else S[k] + carry
@@ -212,6 +248,60 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
     return lo._cond_sub_p(lo._rows(first), None, fc)
 
 
-def mont_sqr_mxu(a, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
-                 scratch=None):
-    return mont_mul_mxu(a, a, mc, fc, lazy=lazy, sqr=True, scratch=scratch)
+def mont_mul_mxu_multi(pairs, mc: MxuConsts, fc: FieldConsts, *,
+                       lazy: bool = True, sqr: bool = False):
+    """S independent Montgomery products with BOTH constant convs of all
+    streams fused into one block-diagonal int8 MXU matmul each.
+
+    The K>=128 contraction experiment (VERDICT r2 item 2 / ROADMAP): a
+    single-stream conv matmul contracts K = 2L = 40 int8 pieces, which the
+    128-deep systolic array pads 3x; S=3 streams block-diagonalized contract
+    K = 120 in one (S*3R, S*2L) @ (S*2L, B') dispatch -- same useful MACs,
+    one third the matmul dispatches, ~2/3 the padded K-tiles on the
+    w_pprime conv.
+
+    `pairs`: list of S (a, b) operand pairs, each (L, B') with the SAME B'
+    (independent batch slices -- e.g. the chain ladder's stream split).
+    Returns the S products, each (L, B'), lazy domain [0, 3p).  The per-
+    stream VPU work (bilinear conv, sweeps, carry-out) is untouched: only
+    the matmuls fuse across streams.
+    """
+    S = len(pairs)
+    assert S == mc.streams and mc.w_pprime_bd is not None
+    L = fc.n_limbs
+
+    Ts = []
+    for a, b in pairs:
+        T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
+        Ts.append(lo._sweep_keep_top(lo._sweep_keep_top(T)))
+
+    # fused M = trunc(T_low (*) p') for all streams: one K = S*2L matmul
+    rows_m = L + 2
+    X = jnp.concatenate([_pieces(T[:L]) for T in Ts], axis=0)  # (S*2L, B')
+    m_all = jax.lax.dot_general(
+        mc.w_pprime_bd, X,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S*3*rows_m, B')
+    Ms = []
+    for s in range(S):
+        g = m_all[s * 3 * rows_m : (s + 1) * 3 * rows_m]
+        M = (g[:rows_m] + (g[rows_m : 2 * rows_m] << _PIECE_BITS)
+             + (g[2 * rows_m :] << (2 * _PIECE_BITS)))
+        Ms.append(lo._sweep_keep_top(lo._sweep_keep_top(M))[:L])
+
+    # fused U = M (*) p for all streams
+    rows_u = 2 * L - 1
+    X2 = jnp.concatenate([_pieces(M) for M in Ms], axis=0)
+    u_all = jax.lax.dot_general(
+        mc.w_p_bd, X2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S*3*rows_u, B')
+    outs = []
+    for s in range(S):
+        g = u_all[s * 3 * rows_u : (s + 1) * 3 * rows_u]
+        U = (g[:rows_u] + (g[rows_u : 2 * rows_u] << _PIECE_BITS)
+             + (g[2 * rows_u :] << (2 * _PIECE_BITS)))
+        outs.append(_finish_high(Ts[s], U, fc, lazy))
+    return outs

@@ -35,19 +35,34 @@ from ..ff import limb_ops as lo
 from ..ff.limb_ops import FieldConsts, field_consts
 from ..permutation.batched import round_constant_limbs
 
-DEFAULT_BLOCK_B = 768  # measured optimum on v5e for 20-limb width-2 states
-
-
-def default_block_b(inst: InstanceParams) -> int:
-    """Measured-optimal batch tile on v5e: the sbox ladder runs on a
-    (L, columns*block) tile, and its optimum is ~768 lanes for 20-limb
-    fields, ~512 for 30-limb (register/VMEM pressure grows with L*width).
-    v5e sweep (Jive 2-to-1 hashes/s): vesta 2_1 768>512>1024; vesta 4_3
-    384>512>768; bls12_377 2_1 640~512>768; bls12_377 4_3 256>384>512."""
-    target = 768 if inst.field.n_limbs <= 20 else 512
-    return max(128, target // inst.columns)
-DEFAULT_MUL_IMPL = "cios2"  # "cios" | "parallel" (see limb_ops.mont_mul_parallel)
+DEFAULT_BLOCK_B = 768  # legacy VPU-path optimum; see default_block_b
+DEFAULT_MUL_IMPL = None  # None = per-instance measured default (default_mul_impl)
 DEFAULT_LADDER = None  # None = per-instance measured default (default_ladder)
+
+
+def default_mul_impl(inst: InstanceParams) -> str:
+    """Measured-optimal Montgomery mul on v5e (VERDICT r2 item 1): the MXU
+    constant-conv path ("mxu") beats pure-VPU cios2 for 20-limb fields
+    (vesta 2_1: 195.3k vs 169.5k hashes/s at its optimal block; verified
+    bit-exact on device, tools/verify_tpu.py --mul-impl mxu).  30-limb
+    default decided by the r3 sweep (tools/sweep_r3.py --set limbs30)."""
+    return "mxu" if inst.field.n_limbs <= 20 else "cios2"
+
+
+def default_block_b(inst: InstanceParams, mul_impl: str | None = None) -> int:
+    """Measured-optimal batch tile on v5e: the sbox ladder runs on a
+    (L, columns*block) tile.  Pure-VPU impls optimize at ~768 lanes for
+    20-limb fields / ~512 for 30-limb (vesta 2_1 768>512>1024; vesta 4_3
+    384>512>768; bls12_377 2_1 640~512>768; 4_3 256>384>512) and DEGRADE
+    past that (VPU-issue-bound).  The mxu path instead improves with block
+    size (the K=2L int8 matmuls amortize their systolic pad with lane
+    count): 2048 > 1536 > 1024 > 768 on vesta 2_1 (r2/r3 sweep)."""
+    impl = mul_impl or default_mul_impl(inst)
+    if impl.startswith("mxu"):
+        target = 2048 if inst.field.n_limbs <= 20 else 1024
+    else:
+        target = 768 if inst.field.n_limbs <= 20 else 512
+    return max(128, target // inst.columns)
 
 
 def default_ladder(inst: InstanceParams) -> str:
@@ -99,9 +114,7 @@ def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
     if fc.ladder.startswith("chain"):
         # straight-line register schedule; no table, no dynamic slicing
-        return lo.exp_inv_alpha_chain(
-            x, fc, streams=2 if fc.ladder == "chain2" else 1
-        )
+        return lo.exp_inv_alpha_chain(x, fc, streams=lo.chain_streams(fc.ladder))
     if fc.ladder == "sw4":
         return _exp_inv_alpha_sw_kernel(x, fc, digits_ref, table_ref)
     L = fc.n_limbs
@@ -231,9 +244,26 @@ def _kernel_fc(fc: FieldConsts, fconst_ref, mxu_refs=None) -> FieldConsts:
     if mxu_refs is not None:
         from .mxu_ops import MxuConsts
 
-        wpp_ref, wp_ref = mxu_refs
-        fc = fc._replace(mxu=MxuConsts(w_pprime=wpp_ref[...], w_p=wp_ref[...]))
+        vals = [r[...] for r in mxu_refs]
+        fc = fc._replace(mxu=MxuConsts(
+            w_pprime=vals[0], w_p=vals[1],
+            w_pprime_bd=vals[2] if len(vals) > 2 else None,
+            w_p_bd=vals[3] if len(vals) > 2 else None,
+            streams=fc.mxu.streams,
+        ))
     return fc
+
+
+def _mxu_arrays(fc: FieldConsts):
+    """Host numpy operands for the MXU constant-conv matmuls (None when the
+    mul impl is VPU-only).  Includes the block-diagonal stream-fused
+    operands when the ladder declares streams (chain2/chain3)."""
+    if not fc.mul_impl.startswith("mxu"):
+        return None
+    arrs = [np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p)]
+    if fc.mxu.w_pprime_bd is not None:
+        arrs += [np.asarray(fc.mxu.w_pprime_bd), np.asarray(fc.mxu.w_p_bd)]
+    return tuple(arrs)
 
 
 def _digits_operand(fc: FieldConsts) -> np.ndarray:
@@ -258,7 +288,7 @@ def permutation_pallas(
     inst: InstanceParams,
     block_b: int | None = None,
     interpret: bool = False,
-    mul_impl: str = DEFAULT_MUL_IMPL,
+    mul_impl: str | None = DEFAULT_MUL_IMPL,
     ladder: str | None = DEFAULT_LADDER,
 ):
     """Batched permutation: int32[WIDTH*L, N] -> int32[WIDTH*L, N].
@@ -266,7 +296,8 @@ def permutation_pallas(
     Any N: the batch is zero-padded up to a multiple of block_b (zero limbs
     are the valid field element 0) and the pad lanes sliced off the output.
     """
-    block_b = block_b or default_block_b(inst)
+    mul_impl = mul_impl or default_mul_impl(inst)
+    block_b = block_b or default_block_b(inst, mul_impl)
     ladder = ladder or default_ladder(inst)
     fc = field_consts(inst.field, mul_impl, ladder)
     L = fc.n_limbs
@@ -275,21 +306,16 @@ def permutation_pallas(
     digits = _digits_operand(fc)
     fconst = _fconst_operand(fc)
 
-    mxu_ops_arrays = (
-        (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
-        if fc.mul_impl.startswith("mxu") else None
-    )
+    mxu_ops_arrays = _mxu_arrays(fc)
+    n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
     with_sos = fc.mul_impl == "mxu2"
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
         sos_ref = rest.pop() if with_sos else None
-        if mxu_ops_arrays is not None:
-            wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
-            kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
-        else:
-            in_ref, out_ref, table_ref = rest
-            kfc = _kernel_fc(fc, fconst_ref)
+        mxu_refs = rest[:n_mxu] if n_mxu else None
+        in_ref, out_ref, table_ref = rest[n_mxu:]
+        kfc = _kernel_fc(fc, fconst_ref, mxu_refs)
         if sos_ref is not None:
             kfc = kfc._replace(sos_scratch=sos_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
@@ -343,7 +369,7 @@ def jive_pallas(
     k: int = 2,
     block_b: int | None = None,
     interpret: bool = False,
-    mul_impl: str = DEFAULT_MUL_IMPL,
+    mul_impl: str | None = DEFAULT_MUL_IMPL,
     ladder: str | None = DEFAULT_LADDER,
 ):
     """Fused batched Jive-k: int32[WIDTH*L, N] -> int32[(WIDTH//k)*L, N].
@@ -351,7 +377,8 @@ def jive_pallas(
     Permutation + feed-forward sum in one kernel -- digests never round-trip
     through HBM as full states (4_3/hasher.rs:161-178).
     """
-    block_b = block_b or default_block_b(inst)
+    mul_impl = mul_impl or default_mul_impl(inst)
+    block_b = block_b or default_block_b(inst, mul_impl)
     ladder = ladder or default_ladder(inst)
     assert inst.width % k == 0 and k % 2 == 0
     fc = field_consts(inst.field, mul_impl, ladder)
@@ -362,21 +389,16 @@ def jive_pallas(
     digits = _digits_operand(fc)
     fconst = _fconst_operand(fc)
 
-    mxu_ops_arrays = (
-        (np.asarray(fc.mxu.w_pprime), np.asarray(fc.mxu.w_p))
-        if fc.mul_impl.startswith("mxu") else None
-    )
+    mxu_ops_arrays = _mxu_arrays(fc)
+    n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
     with_sos = fc.mul_impl == "mxu2"
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
         sos_ref = rest.pop() if with_sos else None
-        if mxu_ops_arrays is not None:
-            wpp_ref, wp_ref, in_ref, out_ref, table_ref = rest
-            kfc = _kernel_fc(fc, fconst_ref, (wpp_ref, wp_ref))
-        else:
-            in_ref, out_ref, table_ref = rest
-            kfc = _kernel_fc(fc, fconst_ref)
+        mxu_refs = rest[:n_mxu] if n_mxu else None
+        in_ref, out_ref, table_ref = rest[n_mxu:]
+        kfc = _kernel_fc(fc, fconst_ref, mxu_refs)
         if sos_ref is not None:
             kfc = kfc._replace(sos_scratch=sos_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]

@@ -61,6 +61,13 @@ def test_pallas_permutation_and_jive(field, iname):
         ("vesta", "anemoi_2_1", "cios", "sw4"),
         # the reference's transcribed addition chain as the exp schedule
         ("vesta", "anemoi_2_1", "cios2", "chain"),
+        # the MXU constant-conv paths -- the shipped 20-limb default (mxu)
+        # and the SOS-scratch variant (mxu2) (VERDICT r2 item 1: these were
+        # previously in no automated gate)
+        ("vesta", "anemoi_2_1", "mxu", "chain"),
+        ("vesta", "anemoi_2_1", "mxu2", "chain"),
+        # stream-fused block-diagonal matmuls (K = 3*2L contraction)
+        ("vesta", "anemoi_2_1", "mxu", "chain3"),
     ],
 )
 def test_pallas_matrix(field, iname, mul_impl, ladder):
@@ -70,14 +77,14 @@ def test_pallas_matrix(field, iname, mul_impl, ladder):
     from anemoi_tpu.ff import pallas_backend as pb
 
     inst = get_instance(field, iname)
-    B = 32
+    B = 48  # divisible by 3 so chain3 exercises the FUSED stream path
     rng = np.random.default_rng(5)
     states = [
         [int(rng.integers(0, 2**62)) for _ in range(inst.width)] for _ in range(B)
     ]
     arr = bm.encode_states(inst, states)
     flat = arr.reshape(-1, B)
-    runj = pb.jive_pallas(inst, 2, block_b=32, interpret=INTERPRET,
+    runj = pb.jive_pallas(inst, 2, block_b=B, interpret=INTERPRET,
                           mul_impl=mul_impl, ladder=ladder)
     outj = np.asarray(runj(flat)).reshape(inst.width // 2, -1, B)
     got = bm.decode_states(inst, outj)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Round-3 kernel config sweep on the attached TPU.
+
+Measures bench.bench_jive for a list of (field, instance, mul_impl, ladder,
+block) configs and prints one JSON line per result -- the measurements that
+decide pallas_backend's per-instance defaults (VERDICT r2 items 1-3).
+
+    python tools/sweep_r3.py [--set headline|limbs30|all] [--n EXP2]
+"""
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+HEADLINE = [
+    # the r2 measured frontier: mxu still rising at 2048; finish the sweep
+    ("vesta", "anemoi_2_1", "mxu", "chain", 2048),
+    ("vesta", "anemoi_2_1", "mxu", "chain", 3072),
+    ("vesta", "anemoi_2_1", "mxu", "chain", 4096),
+    ("vesta", "anemoi_2_1", "mxu2", "chain", 2048),
+    ("vesta", "anemoi_2_1", "mxu2", "chain", 3072),
+    # 4_3 never measured with mxu; its cios2 optimum block is 384
+    ("vesta", "anemoi_4_3", "mxu", "chain", 1024),
+    ("vesta", "anemoi_4_3", "mxu", "chain", 2048),
+]
+
+LIMBS30 = [
+    # 30-limb fields (VERDICT item 3): mxu never tried at L=30, where
+    # K=2L=60 wastes less MXU padding than 40
+    ("bls12_377", "anemoi_2_1", "mxu", "sw4", 1024),
+    ("bls12_377", "anemoi_2_1", "mxu", "sw4", 2048),
+    ("bls12_377", "anemoi_2_1", "mxu", "sw4", 512),
+    ("bls12_381", "anemoi_2_1", "mxu", "sw4", 2048),
+]
+
+
+def run(configs, n, reps):
+    results = []
+    for field, iname, impl, ladder, block in configs:
+        t0 = time.time()
+        try:
+            rate = bench.bench_jive(
+                field, iname, n=n, block=block, reps=reps,
+                mul_impl=impl, ladder=ladder,
+            )
+            rec = {"field": field, "inst": iname, "impl": impl,
+                   "ladder": ladder, "block": block, "rate": round(rate, 1),
+                   "secs": round(time.time() - t0, 1)}
+        except Exception as e:
+            rec = {"field": field, "inst": iname, "impl": impl,
+                   "ladder": ladder, "block": block, "error": repr(e),
+                   "secs": round(time.time() - t0, 1)}
+            traceback.print_exc(file=sys.stderr)
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", default="headline",
+                    choices=["headline", "limbs30", "all"])
+    ap.add_argument("--n", type=int, default=20, help="log2 batch size")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    configs = {"headline": HEADLINE, "limbs30": LIMBS30,
+               "all": HEADLINE + LIMBS30}[args.set]
+    run(configs, 1 << args.n, args.reps)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,10 @@ def main():
     ap.add_argument("--block", type=int, default=128)
     args = ap.parse_args()
 
-    impls = [args.mul_impl] if args.mul_impl else ["cios2", "cios", "parallel"]
+    impls = (
+        [args.mul_impl] if args.mul_impl
+        else ["mxu", "mxu2", "cios2", "cios", "parallel"]
+    )
     ladders = [args.ladder] if args.ladder else ["sw4", "chain"]
     ok = True
     t0 = time.time()
