@@ -53,3 +53,48 @@ def shard_batch(arr, mesh: jax.sharding.Mesh):
         *([None] * (ndim - 1)), mesh.axis_names[-1]
     )
     return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
+
+
+_DTYPE_BYTES = {"s32": 4, "u32": 4, "f32": 4, "s8": 1, "u8": 1, "s16": 2,
+                "u16": 2, "bf16": 2, "f16": 2, "s64": 8, "u64": 8, "f64": 8,
+                "pred": 1}
+
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def collective_traffic(jitted_fn, *args) -> dict:
+    """Bytes moved per collective in a compiled sharded program (SURVEY.md
+    section 5 "bytes moved per collective").
+
+    Compiles `jitted_fn(*args)` and scans the optimized HLO for collective
+    ops, summing each op's output-shape bytes (per participating device).
+    Measured from the program XLA actually runs, not from an analytic model:
+    if partitioning inserts an unexpected collective, it shows up here.
+
+    Returns {"ops": [{op, shape, bytes_per_device}...],
+             "total_bytes_per_device": N, "counts": {op_kind: n}}.
+    """
+    import re
+
+    txt = jitted_fn.lower(*args).compile().as_text()
+    ops = []
+    counts: dict = {}
+    # e.g.:  %ag = s32[20,8]{1,0} all-gather(%x), replica_groups=...
+    pat = re.compile(
+        r"=\s+(?:\()?(\w+)\[([\d,]*)\][^)\s]*\s+(" + "|".join(_COLLECTIVES) + r")"
+    )
+    for m in pat.finditer(txt):
+        dtype, dims, kind = m.groups()
+        nbytes = _DTYPE_BYTES.get(dtype, 4)
+        for d in dims.split(","):
+            if d:
+                nbytes *= int(d)
+        ops.append({"op": kind, "shape": f"{dtype}[{dims}]",
+                    "bytes_per_device": nbytes})
+        counts[kind] = counts.get(kind, 0) + 1
+    return {
+        "ops": ops,
+        "total_bytes_per_device": sum(o["bytes_per_device"] for o in ops),
+        "counts": counts,
+    }

@@ -210,17 +210,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", {n_devices})
 import sys; sys.path.insert(0, {str(Path(__file__).parent)!r})
 from anemoi_tpu.dist.forest import sharded_merkle_root_fn
-from anemoi_tpu.dist.mesh import chip_mesh, shard_batch
+from anemoi_tpu.dist.mesh import chip_mesh, collective_traffic, shard_batch
 from anemoi_tpu.fields.params import get_instance
 inst = get_instance("vesta", "anemoi_2_1")
 L = inst.field.n_limbs
 rng = np.random.default_rng(0)
 leaves = rng.integers(0, 1 << 12, size=(L, {n_leaves}), dtype=np.int32)
 out = {{}}
+traffic = None
 for nd in (1, {n_devices}):
     mesh = chip_mesh(nd)
     fn = sharded_merkle_root_fn(inst, mesh, {n_leaves}, chunk_b=256)
     g = shard_batch(leaves, mesh)
+    if nd > 1:
+        traffic = collective_traffic(fn, g)  # bytes/collective, from the HLO
     np.asarray(fn(g))  # compile
     times = []
     for _ in range(3):
@@ -228,7 +231,10 @@ for nd in (1, {n_devices}):
     out[nd] = float(np.median(times))
 eff = out[1] / ({n_devices} * out[{n_devices}])
 print(json.dumps({{"t1": out[1], "tN": out[{n_devices}], "n_devices": {n_devices},
-                   "scaling_efficiency": round(eff, 3)}}))
+                   "scaling_efficiency": round(eff, 3),
+                   "collective_bytes_per_device": traffic["total_bytes_per_device"],
+                   "collective_counts": traffic["counts"],
+                   "collective_ops": traffic["ops"]}}))
 """
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
@@ -345,6 +351,9 @@ def main():
     ap.add_argument("--ladder", default=None,
                     help="exp ladder: fixed4 | sw4 (sliding window) | "
                          "chain (reference addition chains)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the secondary BASELINE configs in the default "
+                         "run (headline JSON only)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler xplane trace of the timed "
                          "reps into DIR (utils.profiling)")
@@ -363,16 +372,53 @@ def main():
     rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl,
                       ladder=args.ladder, profile_dir=args.profile)
 
-    print(
-        json.dumps(
-            {
-                "metric": "vesta_anemoi_2_1_jive_2to1_hashes_per_sec_per_chip",
-                "value": round(rate, 1),
-                "unit": "hashes/s",
-                "vs_baseline": round(rate / REFERENCE_RATE, 2),
-            }
-        )
-    )
+    doc = {
+        "metric": "vesta_anemoi_2_1_jive_2to1_hashes_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "hashes/s",
+        "vs_baseline": round(rate / REFERENCE_RATE, 2),
+    }
+    if not args.headline_only:
+        # every named BASELINE config rides in the same driver-recorded JSON
+        # (VERDICT r2 item 4) so secondary regressions are machine-visible
+        configs = []
+
+        def try_add(metric, unit, fn, ref_key=None, **extra):
+            try:
+                v = fn()
+            except Exception as e:  # pragma: no cover
+                print(f"[bench] {metric} failed: {e}", file=sys.stderr)
+                return
+            entry = {"metric": metric, "value": round(v, 1), "unit": unit, **extra}
+            ref = _REF_RATES.get(ref_key)
+            if ref:
+                entry["vs_reference_core"] = round(v / ref, 2)
+            print(f"[bench] {metric}: {v:,.1f} {unit}", file=sys.stderr)
+            configs.append(entry)
+
+        try_add("vesta_anemoi_4_3_sponge_10kb", "msgs/s",
+                lambda: bench_sponge_10kb(block=args.block),
+                ("vesta", "anemoi_4_3", "sponge10kb"))
+        try_add("vesta_anemoi_4_3_merkle_2p24_arity4", "leaves/s",
+                lambda: bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24,
+                                     reps=2))
+        try:
+            d = bench_multichip_dryrun()
+            configs.append({
+                "metric": "multichip_dryrun_scaling_efficiency",
+                "value": d["scaling_efficiency"], "unit": "fraction",
+                "n_devices": d["n_devices"],
+                "collective_bytes_per_device": d.get("collective_bytes_per_device"),
+                "collective_counts": d.get("collective_counts"),
+            })
+            print(f"[bench] scaling eff: {d['scaling_efficiency']} "
+                  f"({d.get('collective_bytes_per_device')} B/device in "
+                  f"{d.get('collective_counts')})", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
+        doc["configs"] = configs
+
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
