@@ -396,6 +396,10 @@ def main():
             print(f"[bench] {metric}: {v:,.1f} {unit}", file=sys.stderr)
             configs.append(entry)
 
+        try_add("bls12_377_anemoi_2_1_jive_2to1", "hashes/s",
+                lambda: bench_jive("bls12_377", "anemoi_2_1", n=args.n // 4,
+                                   block=args.block, reps=2),
+                ("bls12_377", "anemoi_2_1", "jive"))
         try_add("vesta_anemoi_4_3_sponge_10kb", "msgs/s",
                 lambda: bench_sponge_10kb(block=args.block),
                 ("vesta", "anemoi_4_3", "sponge10kb"))

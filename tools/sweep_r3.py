@@ -32,6 +32,15 @@ HEADLINE = [
     ("vesta", "anemoi_4_3", "mxu", "chain", 2048),
 ]
 
+STREAMS = [
+    # stream-fused block-diagonal matmuls: K = S*2L contraction (the
+    # K>=128 experiment).  Blocks must be divisible by the stream count.
+    ("vesta", "anemoi_2_1", "mxu", "chain3", 1536),
+    ("vesta", "anemoi_2_1", "mxu", "chain3", 3072),
+    ("vesta", "anemoi_2_1", "mxu", "chain2", 2048),
+    ("vesta", "anemoi_2_1", "mxu", "chain2", 3072),
+]
+
 LIMBS30 = [
     # 30-limb fields (VERDICT item 3): mxu never tried at L=30, where
     # K=2L=60 wastes less MXU padding than 40
@@ -67,12 +76,12 @@ def run(configs, n, reps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="headline",
-                    choices=["headline", "limbs30", "all"])
+                    choices=["headline", "streams", "limbs30", "all"])
     ap.add_argument("--n", type=int, default=20, help="log2 batch size")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
-    configs = {"headline": HEADLINE, "limbs30": LIMBS30,
-               "all": HEADLINE + LIMBS30}[args.set]
+    configs = {"headline": HEADLINE, "streams": STREAMS, "limbs30": LIMBS30,
+               "all": HEADLINE + STREAMS + LIMBS30}[args.set]
     run(configs, 1 << args.n, args.reps)
 
 
