@@ -56,10 +56,11 @@ def default_block_b(inst: InstanceParams, mul_impl: str | None = None) -> int:
     384>512>768; bls12_377 2_1 640~512>768; 4_3 256>384>512) and DEGRADE
     past that (VPU-issue-bound).  The mxu path instead improves with block
     size (the K=2L int8 matmuls amortize their systolic pad with lane
-    count): 2048 > 1536 > 1024 > 768 on vesta 2_1 (r2/r3 sweep)."""
+    count): r3 sweep on vesta 2_1: 3072 (196.5k/s) > 2048 (195.5k) > 1536
+    > 1024 > 768; 4096 fails Mosaic compile (scoped-VMEM OOM)."""
     impl = mul_impl or default_mul_impl(inst)
     if impl.startswith("mxu"):
-        target = 2048 if inst.field.n_limbs <= 20 else 1024
+        target = 3072 if inst.field.n_limbs <= 20 else 1024
     else:
         target = 768 if inst.field.n_limbs <= 20 else 512
     return max(128, target // inst.columns)

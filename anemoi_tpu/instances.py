@@ -142,12 +142,20 @@ class AnemoiInstance:
 
         from .permutation.batched import jit_permutation
 
+        def _hash_bytes(messages, backend: str = "jit"):
+            """Batch of ARBITRARY-length byte messages -> Montgomery digests
+            in input order (length-bucketed device dispatch)."""
+            from .modes.bytes_pipeline import hash_bytes_mixed
+
+            return hash_bytes_mixed(params, messages, backend=backend)
+
         return SimpleNamespace(
             permutation=lambda states: jit_permutation(params)(states),
             compress=lambda states: _compress(2)(states),
             compress_k=lambda states, k: _compress(k)(states),
             merge=_merge,
             hash_field=lambda elems: _sponge(int(elems.shape[0]))(elems),
+            hash_bytes=_hash_bytes,
             encode_states=lambda states, mont=True: bm.encode_states(
                 params, states, mont=mont
             ),

@@ -72,9 +72,10 @@ def test_finalize_sigma0_uses_cached_permutation():
     fp = inst.field
     rng = np.random.default_rng(2)
     before = _finalize_perm_fn.cache_info()
+    # B=4 matches the shapes the parametrized cases above already compiled
     for _ in range(2):
-        msgs = [[int(rng.integers(0, 2**62)) for _ in range(4)] for _ in range(2)]
-        sponge = BatchedSponge(inst, batch=2)
+        msgs = [[int(rng.integers(0, 2**62)) for _ in range(4)] for _ in range(4)]
+        sponge = BatchedSponge(inst, batch=4)
         arr = np.stack(
             [bm.lo.encode_ints([m[e] for m in msgs], fp) for e in range(3)]
         )

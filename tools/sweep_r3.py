@@ -22,14 +22,18 @@ import bench
 
 HEADLINE = [
     # the r2 measured frontier: mxu still rising at 2048; finish the sweep
+    # MEASURED r3: 2048 -> 195,482/s; 3072 -> 196,505/s; 4096 -> Mosaic
+    # VMEM OOM (scoped 16M limit exceeded by 3.17M).  Plateau at 3072.
     ("vesta", "anemoi_2_1", "mxu", "chain", 2048),
     ("vesta", "anemoi_2_1", "mxu", "chain", 3072),
     ("vesta", "anemoi_2_1", "mxu", "chain", 4096),
+]
+
+# tail configs split out after the first run timed out mid-set
+HEADLINE2 = [
     ("vesta", "anemoi_2_1", "mxu2", "chain", 2048),
-    ("vesta", "anemoi_2_1", "mxu2", "chain", 3072),
-    # 4_3 never measured with mxu; its cios2 optimum block is 384
-    ("vesta", "anemoi_4_3", "mxu", "chain", 1024),
-    ("vesta", "anemoi_4_3", "mxu", "chain", 2048),
+    # 4_3 at the block the mul-impl-aware default resolves to (3072/cols)
+    ("vesta", "anemoi_4_3", "mxu", "chain", 1536),
 ]
 
 STREAMS = [
@@ -76,12 +80,14 @@ def run(configs, n, reps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="headline",
-                    choices=["headline", "streams", "limbs30", "all"])
+                    choices=["headline", "headline2", "streams", "limbs30",
+                             "all"])
     ap.add_argument("--n", type=int, default=20, help="log2 batch size")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
-    configs = {"headline": HEADLINE, "streams": STREAMS, "limbs30": LIMBS30,
-               "all": HEADLINE + STREAMS + LIMBS30}[args.set]
+    configs = {"headline": HEADLINE, "headline2": HEADLINE2,
+               "streams": STREAMS, "limbs30": LIMBS30,
+               "all": HEADLINE + HEADLINE2 + STREAMS + LIMBS30}[args.set]
     run(configs, 1 << args.n, args.reps)
 
 
