@@ -41,12 +41,13 @@ DEFAULT_LADDER = None  # None = per-instance measured default (default_ladder)
 
 
 def default_mul_impl(inst: InstanceParams) -> str:
-    """Measured-optimal Montgomery mul on v5e (VERDICT r2 item 1): the MXU
-    constant-conv path ("mxu") beats pure-VPU cios2 for 20-limb fields
-    (vesta 2_1: 195.3k vs 169.5k hashes/s at its optimal block; verified
-    bit-exact on device, tools/verify_tpu.py --mul-impl mxu).  30-limb
-    default decided by the r3 sweep (tools/sweep_r3.py --set limbs30)."""
-    return "mxu" if inst.field.n_limbs <= 20 else "cios2"
+    """Measured-optimal Montgomery mul on v5e (VERDICT r2 items 1+3): the
+    MXU constant-conv path ("mxu") beats pure-VPU cios2 at BOTH limb
+    widths (vesta 2_1: 196.5k vs 169.5k hashes/s; bls12_377 2_1: 77.5k vs
+    59.8k -- the constant convs are L^2 work, so the MXU offload matters
+    MORE at L=30).  Verified bit-exact on device
+    (tools/verify_tpu.py --mul-impl mxu; bench parity lanes)."""
+    return "mxu"
 
 
 def default_block_b(inst: InstanceParams, mul_impl: str | None = None) -> int:

@@ -1,5 +1,7 @@
 """Native-packed batched byte hashing vs the golden byte-sponge path."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -29,12 +31,15 @@ def test_hash_bytes_mixed_ragged_lengths():
 
     inst = get_instance("vesta", "anemoi_4_3")
     rng = np.random.default_rng(1)
-    # lengths exercise: sub-chunk, chunk-aligned, multi-element,
-    # equal-E-different-bytes, and empty.  Kept to 4 element-count classes
-    # (E in {0, 1, 2, 4}): each class is one XLA:CPU sponge compile, the
-    # dominant cost of this test.  E=4 reuses test_hash_bytes_batch's
-    # compiled shape (len 100, B adjusted) when caches are warm.
-    lens = [5, 31, 62, 97, 100, 0]
+    # lengths exercise: sub-chunk, multi-element, equal-E-different-bytes,
+    # and empty.  Kept to 3 element-count classes (E in {0, 1, 4}): each
+    # class is one XLA:CPU sponge compile, the dominant cost of this test;
+    # the chunk-aligned/E=2 classes ride the ANEMOI_FULL_PARITY sweep.
+    # the E=4 bucket gets 4 messages so its (E, B) shape matches
+    # test_hash_bytes_batch's compile exactly
+    lens = [5, 97, 100, 97, 100, 0]
+    if os.environ.get("ANEMOI_FULL_PARITY"):
+        lens += [31, 62]
     msgs = [
         bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist())
         for n in lens

@@ -19,7 +19,7 @@ def _run_cli(capsys, argv):
 def test_cli_hash_mixed_files_jit_matches_golden(tmp_path, capsys):
     rng = np.random.default_rng(0)
     files = []
-    for i, n in enumerate([10, 62, 100]):
+    for i, n in enumerate([10, 100]):
         f = tmp_path / f"m{i}.bin"
         f.write_bytes(bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist()))
         files.append(str(f))

@@ -47,11 +47,22 @@ STREAMS = [
 
 LIMBS30 = [
     # 30-limb fields (VERDICT item 3): mxu never tried at L=30, where
-    # K=2L=60 wastes less MXU padding than 40
+    # K=2L=60 wastes less MXU padding than 40.
+    # MEASURED r3: 1024 -> 77,518/s (+30% over cios2's 59.8k);
+    # 512 -> 63,644; 2048 -> Mosaic scoped-VMEM OOM at L=30.
     ("bls12_377", "anemoi_2_1", "mxu", "sw4", 1024),
     ("bls12_377", "anemoi_2_1", "mxu", "sw4", 2048),
     ("bls12_377", "anemoi_2_1", "mxu", "sw4", 512),
     ("bls12_381", "anemoi_2_1", "mxu", "sw4", 2048),
+]
+
+LIMBS30B = [
+    # follow-up: the block frontier between 1024 and the OOM wall, the
+    # bls12_381 default, and the chain ladder under mxu at L=30
+    ("bls12_377", "anemoi_2_1", "mxu", "sw4", 1536),
+    ("bls12_381", "anemoi_2_1", "mxu", "sw4", 1024),
+    ("bls12_377", "anemoi_2_1", "mxu", "chain", 1024),
+    ("bls12_377", "anemoi_4_3", "mxu", "sw4", 512),
 ]
 
 
@@ -81,12 +92,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="headline",
                     choices=["headline", "headline2", "streams", "limbs30",
-                             "all"])
+                             "limbs30b", "all"])
     ap.add_argument("--n", type=int, default=20, help="log2 batch size")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     configs = {"headline": HEADLINE, "headline2": HEADLINE2,
-               "streams": STREAMS, "limbs30": LIMBS30,
+               "streams": STREAMS, "limbs30": LIMBS30, "limbs30b": LIMBS30B,
                "all": HEADLINE + HEADLINE2 + STREAMS + LIMBS30}[args.set]
     run(configs, 1 << args.n, args.reps)
 
