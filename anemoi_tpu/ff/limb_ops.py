@@ -122,12 +122,12 @@ def field_consts(
             "(multi-stream interleave; with mul_impl='mxu*' the streams' "
             "constant convs fuse into block-diagonal MXU matmuls)"
         )
-    if mul_impl not in ("cios", "cios2", "cios2s", "parallel", "mxu", "mxu2") and not (
-        mul_impl.startswith("cios") and mul_impl[4:].isdigit()
-    ):
+    if mul_impl not in (
+        "cios", "cios2", "cios2s", "parallel", "mxu", "mxu2", "mxu3", "mxus"
+    ) and not (mul_impl.startswith("cios") and mul_impl[4:].isdigit()):
         raise ValueError(
-            f"unknown mul_impl {mul_impl!r}; expected "
-            "cios | cios2 | cios2s | cios<k> | parallel | mxu | mxu2"
+            f"unknown mul_impl {mul_impl!r}; expected cios | cios2 | cios2s"
+            " | cios<k> | parallel | mxu | mxu2 | mxu3 | mxus"
         )
     L = fp.n_limbs
     R = 1 << (LIMB_BITS * L)

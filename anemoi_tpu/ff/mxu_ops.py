@@ -156,6 +156,44 @@ def _conv1_sqr(a, L: int):
     return lo._tree_sum(parts)
 
 
+def _conv1_sqr_fused_diag(a, L: int):
+    """Strict-upper-triangle squaring conv: one part per limb instead of the
+    naive two (the doubled off-diagonal slice rides in the same part as the
+    diagonal product, fused into the part's single zero-pad concatenate) --
+    L parts / L-1 tree adds where the shifted-pair form needs 2L-1 parts /
+    2L-2 adds, ~43% fewer full-height conv row ops.
+
+    MEASURED NOT FASTER on v5e (mul_impl="mxus": 192.8k vs 196.5k hashes/s
+    at vesta 2_1 chain/3072): the kernel's critical path at production
+    block sizes is the int8 MXU dispatch stream, not the VPU tree adds, so
+    removing ~40% of the conv's padded adds changes nothing (see ROADMAP
+    "MXU-share probe").  Kept selectable for documentation and for chips
+    where the VPU/MXU balance differs.
+
+    Overflow: column r sums at most 2*ceil(L/2)+1 <= 31 doubled/diagonal
+    products of relaxed digits (<= 2^13 + 2^5, so products < 2^26.01) at
+    L = 30: < 31 * 2^26.01 < 2^30.97 -- int32-safe (the caller's two
+    sweeps then relax digits back below 2^13 + 2^5)."""
+    rows = 2 * L + 1
+    B = a.shape[1:]
+    d = a * a  # (L, B) diagonal products a_i^2 -> columns 2i
+    parts = []
+    for i in range(L - 1):
+        p = a[i] * a[i + 1 :]  # off-diagonal a_i*a_j, j > i -> columns i+j
+        p = p + p  # doubled (symmetry)
+        pieces = []
+        if i:
+            pieces.append(jnp.zeros((2 * i, *B), dtype=jnp.int32))
+        pieces.append(d[i : i + 1])
+        pieces.append(p)
+        tail = rows - 2 * i - 1 - (L - 1 - i)
+        if tail:
+            pieces.append(jnp.zeros((tail, *B), dtype=jnp.int32))
+        parts.append(jnp.concatenate(pieces, axis=0))
+    parts.append(lo._shift_down(d[L - 1 : L], 2 * L - 2, rows))
+    return lo._tree_sum(parts)
+
+
 def _conv1_mul(a, b, L: int):
     parts = [lo._shift_down(a[i] * b, i, 2 * L + 1) for i in range(L)]
     return lo._tree_sum(parts)
@@ -187,6 +225,57 @@ def _conv1_sos(a, b, L: int, t_ref, sqr: bool):
     return t_ref[...]
 
 
+_SOS_ACCS = 4  # independent scratch accumulators in the mxu3 conv
+
+
+def sos_multi_rows(L: int) -> int:
+    """Scratch rows for the mxu3 multi-accumulator conv: _SOS_ACCS
+    sublane-aligned (2L+1)-row accumulators."""
+    return _SOS_ACCS * (-(-(2 * L + 1) // 8) * 8)
+
+
+def _conv1_sos_multi(a, b, L: int, t_ref, sqr: bool):
+    """Bilinear conv accumulated across _SOS_ACCS independent VMEM scratch
+    accumulators (round-robin over parts, so consecutive program-order adds
+    hit different accumulators and expose ILP -- the fix for the single-
+    scratch _conv1_sos, whose read-modify-write chain serializes against
+    itself).  No zero-padded part materialization and no tree-sum: each
+    part is added at its natural height via a sliced read-modify-write.
+
+    Per-accumulator columns gain at most ceil(L/_SOS_ACCS) products
+    (8 * 2^26.01 < 2^29.1 at L = 30) between the single zero-init and the
+    final combine, so no intra-conv sweeps are needed; the combined sum
+    obeys the same < 2^31 bound as the tree-sum convs (see _conv1_sqr).
+    Pallas kernels only (needs a mutable ref)."""
+    import jax.experimental.pallas as pl
+
+    B = a.shape[1]
+    stride = sos_multi_rows(L) // _SOS_ACCS
+    rows = 2 * L + 1
+    t_ref[...] = jnp.zeros((_SOS_ACCS * stride, B), dtype=jnp.int32)
+    if sqr:
+        d = a * a  # diagonal products -> columns 2i
+        for i in range(L - 1):
+            g = i % _SOS_ACCS
+            p = a[i] * a[i + 1 :]
+            p = p + p
+            part = jnp.concatenate([d[i : i + 1], p], axis=0)  # columns [2i, L+i)
+            sl = pl.ds(g * stride + 2 * i, L - i)
+            t_ref[sl, :] = t_ref[sl, :] + part
+        g = (L - 1) % _SOS_ACCS
+        sl = pl.ds(g * stride + 2 * L - 2, 1)
+        t_ref[sl, :] = t_ref[sl, :] + d[L - 1 : L]
+    else:
+        for i in range(L):
+            g = i % _SOS_ACCS
+            sl = pl.ds(g * stride + i, L)
+            t_ref[sl, :] = t_ref[sl, :] + a[i] * b
+    acc = t_ref[pl.ds(0, rows), :]
+    for g in range(1, _SOS_ACCS):
+        acc = acc + t_ref[pl.ds(g * stride, rows), :]
+    return acc
+
+
 def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
                  sqr: bool = False, scratch=None):
     """Montgomery product with constant convs on the MXU; lazy domain [0, 3p).
@@ -205,19 +294,32 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
     # beta-square muls, which run at block width while the ladder runs at
     # columns*block).  Those few narrow muls fall back to the tree-sum conv.
     if scratch is not None and scratch.shape[1] == a.shape[1]:
-        T = _conv1_sos(a, b, L, scratch, sqr)
+        if fc.mul_impl == "mxu3":
+            T = _conv1_sos_multi(a, b, L, scratch, sqr)
+        else:
+            T = _conv1_sos(a, b, L, scratch, sqr)
+    elif sqr:
+        T = (_conv1_sqr_fused_diag(a, L) if fc.mul_impl == "mxus"
+             else _conv1_sqr(a, L))
     else:
-        T = _conv1_sqr(a, L) if sqr else _conv1_mul(a, b, L)
+        T = _conv1_mul(a, b, L)
     T = lo._sweep_keep_top(lo._sweep_keep_top(T))
 
     # M = trunc_L(T_low (*) p'): one MXU matmul; value == m + jR, j in {0,1}
     # (computed at L+2 columns so the sweeps normalize digit L-1; the spare
     # rows are then dropped -- the mod-R truncation, as in mont_mul_parallel)
-    M = _conv_matmul(mc.w_pprime, _pieces(T[:L]), L + 2)
-    M = lo._sweep_keep_top(lo._sweep_keep_top(M))[:L]  # digits <= 2^13 + 2^5
+    import os as _os
+    if _os.environ.get("ANEMOI_PROBE_SKIP_PPRIME"):  # timing probe: WRONG math
+        M = T[:L]
+    else:
+        M = _conv_matmul(mc.w_pprime, _pieces(T[:L]), L + 2)
+        M = lo._sweep_keep_top(lo._sweep_keep_top(M))[:L]  # digits <= 2^13 + 2^5
 
     # U = M (*) p: one MXU matmul, 2L-1 columns
-    U = _conv_matmul(mc.w_p, _pieces(M), 2 * L - 1)
+    if _os.environ.get("ANEMOI_PROBE_SKIP_U"):  # timing probe: WRONG math
+        U = jnp.concatenate([M, M[:L - 1]], axis=0)
+    else:
+        U = _conv_matmul(mc.w_p, _pieces(M), 2 * L - 1)
     return _finish_high(T, U, fc, lazy)
 
 

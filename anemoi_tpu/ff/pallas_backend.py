@@ -22,6 +22,7 @@ Control flow inside the kernel:
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -75,6 +76,29 @@ def default_ladder(inst: InstanceParams) -> str:
     unless the chain measurement wins there too (the 448-op straight-line
     unroll inflates Mosaic compile time at L=30)."""
     return "chain" if inst.field.n_limbs <= 20 else "sw4"
+
+
+def _sos_rows(fc: FieldConsts) -> int:
+    """Scratch rows for the conv-in-scratch mul impls: one (2L+1)-row
+    accumulator (mxu2) or _SOS_ACCS aligned accumulators (mxu3)."""
+    if fc.mul_impl == "mxu3":
+        from .mxu_ops import sos_multi_rows
+
+        return sos_multi_rows(fc.n_limbs)
+    return 2 * fc.n_limbs + 1
+
+
+# Mosaic's default scoped-VMEM budget is 16 MB on v5e -- far below the
+# physical VMEM -- and it, not the hardware, was what stopped the r3 block
+# sweep at 3072 ("4096 VMEM-OOM": the allocator exceeded 16.00M by kilobytes).
+# Raising the cap lets bigger batch tiles amortize the int8 matmul dispatches.
+VMEM_LIMIT_BYTES = int(os.environ.get("ANEMOI_VMEM_LIMIT", 100 * 1024 * 1024))
+
+
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
 def _table_stride(L: int) -> int:
@@ -310,7 +334,7 @@ def permutation_pallas(
 
     mxu_ops_arrays = _mxu_arrays(fc)
     n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
-    with_sos = fc.mul_impl == "mxu2"
+    with_sos = fc.mul_impl in ("mxu2", "mxu3")
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
@@ -355,10 +379,11 @@ def permutation_pallas(
             out_shape=jax.ShapeDtypeStruct((width * L, n_pad), jnp.int32),
             scratch_shapes=(
                 [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
-                + ([pltpu.VMEM((2 * L + 1, inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((_sos_rows(fc), inst.columns * block_b), jnp.int32)]
                    if with_sos else [])
             ),
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*operands)
         return out if n_pad == n else out[:, :n]
 
@@ -393,7 +418,7 @@ def jive_pallas(
 
     mxu_ops_arrays = _mxu_arrays(fc)
     n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
-    with_sos = fc.mul_impl == "mxu2"
+    with_sos = fc.mul_impl in ("mxu2", "mxu3")
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
@@ -442,10 +467,11 @@ def jive_pallas(
             out_shape=jax.ShapeDtypeStruct((c * L, n_pad), jnp.int32),
             scratch_shapes=(
                 [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
-                + ([pltpu.VMEM((2 * L + 1, inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((_sos_rows(fc), inst.columns * block_b), jnp.int32)]
                    if with_sos else [])
             ),
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*operands)
         return out if n_pad == n else out[:, :n]
 

@@ -66,6 +66,10 @@ def test_pallas_permutation_and_jive(field, iname):
         # previously in no automated gate)
         ("vesta", "anemoi_2_1", "mxu", "chain"),
         ("vesta", "anemoi_2_1", "mxu2", "chain"),
+        # multi-accumulator scratch conv, both limb widths (r3)
+        ("vesta", "anemoi_2_1", "mxu3", "chain"),
+        ("vesta", "anemoi_2_1", "mxus", "chain"),
+        ("bls12_381", "anemoi_2_1", "mxu3", "sw4"),
         # stream-fused block-diagonal matmuls (K = 3*2L contraction)
         ("vesta", "anemoi_2_1", "mxu", "chain3"),
     ],
