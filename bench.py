@@ -273,41 +273,67 @@ def bench_all(args):
         configs.append(entry)
         print(f"[bench] {metric}: {value:,.1f} {unit}", file=sys.stderr)
 
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("ANEMOI_BENCH_BUDGET", "900"))
     headline = bench_jive(n=args.n, block=args.block, reps=args.reps)
+    # headline JSON immediately (VERDICT r3 item 1): a mid-sweep kill still
+    # leaves a parseable record on stdout.
+    print(json.dumps({
+        "metric": "vesta_anemoi_2_1_jive_2to1_hashes_per_sec_per_chip",
+        "value": round(headline, 1), "unit": "hashes/s",
+        "vs_baseline": round(headline / REFERENCE_RATE, 2),
+    }), flush=True)
     add("vesta_anemoi_2_1_jive_2to1", headline, "hashes/s",
         ("vesta", "anemoi_2_1", "jive"))
+    def over_budget(metric):
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            print(f"[bench] budget {budget:.0f}s exceeded ({elapsed:.0f}s); "
+                  f"skipping {metric}", file=sys.stderr)
+            return True
+        return False
+
     for field, iname in [("vesta", "anemoi_4_3"), ("bls12_381", "anemoi_2_1"),
-                         ("bls12_377", "anemoi_2_1")]:
+                         ("bls12_377", "anemoi_2_1"), ("bls12_377", "anemoi_4_3")]:
+        if over_budget(f"{field}_{iname}_jive"):
+            continue
         try:
             r = bench_jive(field, iname, n=args.n // 4, block=args.block, reps=2)
             add(f"{field}_{iname}_jive_2to1", r, "hashes/s", (field, iname, "jive"))
         except Exception as e:  # pragma: no cover
             print(f"[bench] {field}/{iname} failed: {e}", file=sys.stderr)
-    try:
-        r = bench_sponge_10kb(block=args.block)
-        add("vesta_anemoi_4_3_sponge_10kb", r, "msgs/s",
-            ("vesta", "anemoi_4_3", "sponge10kb"), mb_per_sec=round(r * 10240 / 1e6, 1))
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] sponge failed: {e}", file=sys.stderr)
-    try:
-        r = bench_merkle(block=args.block)
-        add("vesta_anemoi_2_1_merkle_2p20_arity2", r, "leaves/s")
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] merkle failed: {e}", file=sys.stderr)
-    try:
-        # BASELINE config 4 at single-chip scale: arity-4 tree, 2^24 leaves
-        # (multi-chip sharding splits this same tree).
-        r = bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24, reps=2)
-        add("vesta_anemoi_4_3_merkle_2p24_arity4", r, "leaves/s")
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] merkle arity-4 failed: {e}", file=sys.stderr)
-    try:
-        d = bench_multichip_dryrun()
-        add("multichip_dryrun_scaling_efficiency", d["scaling_efficiency"],
-            "fraction", n_devices=d["n_devices"], t1_sec=round(d["t1"], 4),
-            tN_sec=round(d["tN"], 4))
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
+    for field, iname in [("vesta", "anemoi_4_3"), ("vesta", "anemoi_2_1"),
+                         ("bls12_377", "anemoi_4_3"), ("bls12_377", "anemoi_2_1")]:
+        if over_budget(f"{field}_{iname}_sponge10kb"):
+            continue
+        try:
+            r = bench_sponge_10kb(field, iname, n_msgs=1024, block=args.block)
+            add(f"{field}_{iname}_sponge_10kb", r, "msgs/s",
+                (field, iname, "sponge10kb"), mb_per_sec=round(r * 10240 / 1e6, 1))
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] {field}/{iname} sponge failed: {e}", file=sys.stderr)
+    if not over_budget("merkle_2p20_arity2"):
+        try:
+            r = bench_merkle(block=args.block)
+            add("vesta_anemoi_2_1_merkle_2p20_arity2", r, "leaves/s")
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] merkle failed: {e}", file=sys.stderr)
+    if not over_budget("merkle_2p24_arity4"):
+        try:
+            # BASELINE config 4 at single-chip scale: arity-4 tree, 2^24 leaves
+            # (multi-chip sharding splits this same tree).
+            r = bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24, reps=2)
+            add("vesta_anemoi_4_3_merkle_2p24_arity4", r, "leaves/s")
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] merkle arity-4 failed: {e}", file=sys.stderr)
+    if not over_budget("multichip_dryrun"):
+        try:
+            d = bench_multichip_dryrun()
+            add("multichip_dryrun_scaling_efficiency", d["scaling_efficiency"],
+                "fraction", n_devices=d["n_devices"], t1_sec=round(d["t1"], 4),
+                tN_sec=round(d["tN"], 4))
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
 
     doc = {
         "device": jax.devices()[0].device_kind,
@@ -369,6 +395,7 @@ def main():
     from anemoi_tpu.ff.pallas_backend import DEFAULT_MUL_IMPL
 
     impl = args.impl or DEFAULT_MUL_IMPL
+    t_start = time.perf_counter()
     rate = bench_jive(n=args.n, block=args.block, reps=args.reps, mul_impl=impl,
                       ladder=args.ladder, profile_dir=args.profile)
 
@@ -378,12 +405,31 @@ def main():
         "unit": "hashes/s",
         "vs_baseline": round(rate / REFERENCE_RATE, 2),
     }
+    # THE OFFICIAL ARTIFACT: print + flush the headline the moment it exists,
+    # BEFORE any secondary config (VERDICT r3 item 1 -- r3's record was lost
+    # to a driver timeout because this line used to come last).  If the run
+    # is killed mid-secondaries, this is still the last JSON line on stdout.
+    print(json.dumps(doc), flush=True)
     if not args.headline_only:
         # every named BASELINE config rides in the same driver-recorded JSON
-        # (VERDICT r2 item 4) so secondary regressions are machine-visible
+        # (VERDICT r2 item 4) so secondary regressions are machine-visible.
+        # Wall-clock budget (ANEMOI_BENCH_BUDGET seconds, default 15 min):
+        # secondaries are skipped -- never the headline -- once exceeded,
+        # ordered cheapest-compile first.
+        budget = float(os.environ.get("ANEMOI_BENCH_BUDGET", "900"))
         configs = []
 
+        def over_budget(metric):
+            elapsed = time.perf_counter() - t_start
+            if elapsed > budget:
+                print(f"[bench] budget {budget:.0f}s exceeded ({elapsed:.0f}s); "
+                      f"skipping {metric}", file=sys.stderr)
+                return True
+            return False
+
         def try_add(metric, unit, fn, ref_key=None, **extra):
+            if over_budget(metric):
+                return
             try:
                 v = fn()
             except Exception as e:  # pragma: no cover
@@ -396,6 +442,10 @@ def main():
             print(f"[bench] {metric}: {v:,.1f} {unit}", file=sys.stderr)
             configs.append(entry)
 
+        try_add("vesta_anemoi_4_3_jive_2to1", "hashes/s",
+                lambda: bench_jive("vesta", "anemoi_4_3", n=args.n // 4,
+                                   block=args.block, reps=2),
+                ("vesta", "anemoi_4_3", "jive"))
         try_add("bls12_377_anemoi_2_1_jive_2to1", "hashes/s",
                 lambda: bench_jive("bls12_377", "anemoi_2_1", n=args.n // 4,
                                    block=args.block, reps=2),
@@ -403,26 +453,34 @@ def main():
         try_add("vesta_anemoi_4_3_sponge_10kb", "msgs/s",
                 lambda: bench_sponge_10kb(block=args.block),
                 ("vesta", "anemoi_4_3", "sponge10kb"))
+        try_add("bls12_377_anemoi_4_3_sponge_10kb", "msgs/s",
+                lambda: bench_sponge_10kb("bls12_377", "anemoi_4_3",
+                                          n_msgs=1024, block=args.block),
+                ("bls12_377", "anemoi_4_3", "sponge10kb"))
+        try_add("vesta_anemoi_2_1_merkle_2p20_arity2", "leaves/s",
+                lambda: bench_merkle(block=args.block))
         try_add("vesta_anemoi_4_3_merkle_2p24_arity4", "leaves/s",
                 lambda: bench_merkle("vesta", "anemoi_4_3", n_leaves=1 << 24,
                                      reps=2))
-        try:
-            d = bench_multichip_dryrun()
-            configs.append({
-                "metric": "multichip_dryrun_scaling_efficiency",
-                "value": d["scaling_efficiency"], "unit": "fraction",
-                "n_devices": d["n_devices"],
-                "collective_bytes_per_device": d.get("collective_bytes_per_device"),
-                "collective_counts": d.get("collective_counts"),
-            })
-            print(f"[bench] scaling eff: {d['scaling_efficiency']} "
-                  f"({d.get('collective_bytes_per_device')} B/device in "
-                  f"{d.get('collective_counts')})", file=sys.stderr)
-        except Exception as e:  # pragma: no cover
-            print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
+        if not over_budget("multichip_dryrun"):
+            try:
+                d = bench_multichip_dryrun()
+                configs.append({
+                    "metric": "multichip_dryrun_scaling_efficiency",
+                    "value": d["scaling_efficiency"], "unit": "fraction",
+                    "n_devices": d["n_devices"],
+                    "collective_bytes_per_device": d.get("collective_bytes_per_device"),
+                    "collective_counts": d.get("collective_counts"),
+                })
+                print(f"[bench] scaling eff: {d['scaling_efficiency']} "
+                      f"({d.get('collective_bytes_per_device')} B/device in "
+                      f"{d.get('collective_counts')})", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"[bench] multichip dryrun failed: {e}", file=sys.stderr)
         doc["configs"] = configs
-
-    print(json.dumps(doc))
+        # full doc last: the driver parses the final JSON line; headline value
+        # is identical in both prints, so either capture point records it.
+        print(json.dumps(doc), flush=True)
 
 
 if __name__ == "__main__":
