@@ -47,9 +47,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
 from ..fields.params import LIMB_BITS, LIMB_MASK, FieldParams
 from . import limb_ops as lo
 from .limb_ops import FieldConsts
+
+
+def _probe_skip(flag: str) -> bool:
+    """Timing-probe gates that replace a production step with WRONG math
+    (tools/probe_mxu_share.py).  Read at trace time, so a leftover exported
+    flag would bake corrupt kernels into the jit cache for the process
+    lifetime -- refuse unless ANEMOI_PROBE_OK is also set, and shout either
+    way (ADVICE r3, medium)."""
+    if not os.environ.get(flag):
+        return False
+    if not os.environ.get("ANEMOI_PROBE_OK"):
+        raise RuntimeError(
+            f"{flag} is set but ANEMOI_PROBE_OK is not: this flag disables "
+            "part of the Montgomery reduction (WRONG results) and is only "
+            "for MXU-share timing probes.  Unset it, or set ANEMOI_PROBE_OK=1 "
+            "if you really are probing."
+        )
+    print(f"[mxu_ops] WARNING: {flag} active -- kernels traced in this "
+          "process compute WRONG math (timing probe only)", file=sys.stderr)
+    return True
 
 _PIECE_BITS = 7
 _PIECE_MASK = (1 << _PIECE_BITS) - 1
@@ -242,10 +265,12 @@ def _conv1_sos_multi(a, b, L: int, t_ref, sqr: bool):
     itself).  No zero-padded part materialization and no tree-sum: each
     part is added at its natural height via a sliced read-modify-write.
 
-    Per-accumulator columns gain at most ceil(L/_SOS_ACCS) products
-    (8 * 2^26.01 < 2^29.1 at L = 30) between the single zero-init and the
-    final combine, so no intra-conv sweeps are needed; the combined sum
-    obeys the same < 2^31 bound as the tree-sum convs (see _conv1_sqr).
+    Per-accumulator columns gain at most ceil(L/_SOS_ACCS) products, each
+    DOUBLED in the sqr branch (off-diagonal p+p), so the worst case is
+    8 * 2^27.02 ~ 2^30.01 ~ 1.08e9 at L = 30 -- int32-safe, but note the
+    margin is thin: _SOS_ACCS=2 would land at ~2.03e9, within 6% of
+    overflow.  No intra-conv sweeps are needed; the combined sum obeys the
+    same < 2^31 bound as the tree-sum convs (see _conv1_sqr).
     Pallas kernels only (needs a mutable ref)."""
     import jax.experimental.pallas as pl
 
@@ -308,15 +333,14 @@ def mont_mul_mxu(a, b, mc: MxuConsts, fc: FieldConsts, *, lazy: bool = True,
     # M = trunc_L(T_low (*) p'): one MXU matmul; value == m + jR, j in {0,1}
     # (computed at L+2 columns so the sweeps normalize digit L-1; the spare
     # rows are then dropped -- the mod-R truncation, as in mont_mul_parallel)
-    import os as _os
-    if _os.environ.get("ANEMOI_PROBE_SKIP_PPRIME"):  # timing probe: WRONG math
+    if _probe_skip("ANEMOI_PROBE_SKIP_PPRIME"):  # timing probe: WRONG math
         M = T[:L]
     else:
         M = _conv_matmul(mc.w_pprime, _pieces(T[:L]), L + 2)
         M = lo._sweep_keep_top(lo._sweep_keep_top(M))[:L]  # digits <= 2^13 + 2^5
 
     # U = M (*) p: one MXU matmul, 2L-1 columns
-    if _os.environ.get("ANEMOI_PROBE_SKIP_U"):  # timing probe: WRONG math
+    if _probe_skip("ANEMOI_PROBE_SKIP_U"):  # timing probe: WRONG math
         U = jnp.concatenate([M, M[:L - 1]], axis=0)
     else:
         U = _conv_matmul(mc.w_p, _pieces(M), 2 * L - 1)
