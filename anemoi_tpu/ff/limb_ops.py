@@ -79,6 +79,10 @@ class FieldConsts(NamedTuple):
     # (2L+1, B) VMEM scratch ref for in-place bilinear conv accumulation
     # (mul_impl="mxu2", Pallas kernels only; None -> tree-sum fallback)
     sos_scratch: object = None
+    # (n_carried_regs * stride, B) VMEM register-file scratch for the
+    # segmented chain ladder (ladder="chainseg*", Pallas kernels only;
+    # None -> loop-carried tuple fallback for jit/CPU)
+    seg_scratch: object = None
     # Host-side (python int) copies of p's digits.  Inside a Pallas kernel
     # p_limbs is rebound to a traced VMEM row (pallas_backend._kernel_fc);
     # the conditional-subtract/borrow fixup paths want per-limb *scalar*
@@ -115,12 +119,17 @@ def _load_chain(field: str) -> tuple:
 def field_consts(
     fp: FieldParams, mul_impl: str = "cios", ladder: str = "fixed4"
 ) -> FieldConsts:
-    if ladder not in ("fixed4", "sw4", "chain", "chain2", "chain3"):
+    if ladder not in ("fixed4", "sw4", "chain", "chain2", "chain3") and not (
+        ladder.startswith("chainseg")
+        and (ladder[8:] == "" or ladder[8:].isdigit())
+    ):
         raise ValueError(
             f"unknown ladder {ladder!r}; expected "
             "'fixed4' | 'sw4' | 'chain' | 'chain2'/'chain3' "
             "(multi-stream interleave; with mul_impl='mxu*' the streams' "
-            "constant convs fuse into block-diagonal MXU matmuls)"
+            "constant convs fuse into block-diagonal MXU matmuls) | "
+            "'chainseg[N]' (N-op straight-line segments under a "
+            "fori_loop+switch: bounded Mosaic compile time)"
         )
     if mul_impl not in (
         "cios", "cios2", "cios2s", "parallel", "mxu", "mxu2", "mxu3", "mxus"
@@ -161,8 +170,17 @@ def field_consts(
 
 
 def chain_streams(ladder: str) -> int:
-    """Stream count encoded in the ladder name (chain2 -> 2, chain3 -> 3)."""
+    """Stream count encoded in the ladder name (chain2 -> 2, chain3 -> 3);
+    chainseg* is always single-stream."""
+    if ladder.startswith("chainseg"):
+        return 1
     return int(ladder[5:]) if ladder.startswith("chain") and ladder[5:] else 1
+
+
+def chain_seg_size(ladder: str) -> int:
+    """Ops per straight-line segment encoded in the ladder name
+    (chainseg64 -> 64; bare chainseg -> the measured default)."""
+    return int(ladder[8:]) if ladder[8:] else 64
 
 
 def _col(v):
@@ -884,6 +902,128 @@ def exp_inv_alpha_chain(x, fc: FieldConsts, *, streams: int = 1):
     return canonicalize(out, fc)
 
 
+def exp_inv_alpha_chain_seg(x, fc: FieldConsts, *, seg_size: int = 64):
+    """x^(1/alpha) via the reference addition chain, lowered as K
+    straight-line segments selected by lax.switch inside a fori_loop
+    (VERDICT r3 item 3: the fori-segmented chain).
+
+    Mosaic's scheduling cost is superlinear in basic-block size: the fully
+    unrolled 293-op vesta chain costs 120-203 s to compile at block 3072
+    (657 s at 6144) and the 448-op bls12_377 chain is compile-infeasible at
+    L=30.  Splitting the chain into ~seg_size-op segments gives the
+    scheduler K small blocks instead of one huge one, bounding compile time
+    while keeping every segment branch-free straight-line code.
+
+    Registers live across a segment boundary go through fc.seg_scratch, a
+    VMEM register file (Pallas kernels): each switch branch reads ONLY the
+    registers it consumes and writes ONLY the carried registers it defines,
+    all at static row offsets -- the rest of the file is untouched, so a
+    boundary costs a handful of VMEM slice ops instead of materializing
+    every live register (the loop-carried-tuple form, kept as the
+    jit/CPU fallback, was measured 28% slower at block 3072: Mosaic spills
+    the 15-array switch carry through HBM at every boundary).  Registers
+    both defined and consumed inside one segment never touch the file.
+    Total Montgomery-op count is identical to the unrolled chain
+    (reference src/<field>/sbox.rs:28-322)."""
+    ops = fc.chain_ops
+    segs = [ops[i : i + seg_size] for i in range(0, len(ops), seg_size)]
+
+    # registers that cross a segment boundary: used in a segment before
+    # being (re)defined there.  Reg 0 is the input x, defined before seg 0.
+    carried = {ops[-1][1]}  # the final output must survive the loop
+    for seg in segs:
+        defined = set()
+        for op in seg:
+            for src in op[2:]:
+                if src not in defined:
+                    carried.add(src)
+            defined.add(op[1])
+    order = sorted(carried)
+    pos = {r: i for i, r in enumerate(order)}
+
+    scratch = fc.seg_scratch
+    if scratch is not None:
+        L = fc.n_limbs
+        stride = chain_seg_stride(L)
+
+        def row(r):
+            return pos[r] * stride
+
+        scratch[row(0) : row(0) + L, :] = x
+
+        def make_branch(seg):
+            def br(_):
+                env = {}
+
+                def get(r):
+                    if r not in env:
+                        env[r] = scratch[row(r) : row(r) + L, :]
+                    return env[r]
+
+                defined = set()
+                for op in seg:
+                    if op[0] == "sqr":
+                        v = mont_sqr(get(op[2]), fc, lazy=True)
+                    else:
+                        v = mont_mul(get(op[2]), get(op[3]), fc, lazy=True)
+                    env[op[1]] = v
+                    defined.add(op[1])
+                for r in defined & carried:
+                    scratch[row(r) : row(r) + L, :] = env[r]
+                return jnp.int32(0)
+
+            return br
+
+        branches = [make_branch(s) for s in segs]
+        jax.lax.fori_loop(
+            0, len(segs),
+            lambda i, c: jax.lax.switch(i, branches, c),
+            jnp.int32(0),
+        )
+        out_r = ops[-1][1]
+        return canonicalize(scratch[row(out_r) : row(out_r) + L, :], fc)
+
+    def make_branch(seg):
+        def br(regs):
+            env = dict(zip(order, regs))
+            for op in seg:
+                if op[0] == "sqr":
+                    env[op[1]] = mont_sqr(env[op[2]], fc, lazy=True)
+                else:
+                    env[op[1]] = mont_mul(env[op[2]], env[op[3]], fc, lazy=True)
+            return tuple(env[r] for r in order)
+        return br
+
+    branches = [make_branch(s) for s in segs]
+    init = tuple(x for _ in order)  # undefined slots: shape-matching dummies
+    regs = jax.lax.fori_loop(
+        0, len(segs), lambda i, r: jax.lax.switch(i, branches, r), init
+    )
+    return canonicalize(regs[pos[ops[-1][1]]], fc)
+
+
+def chain_seg_stride(L: int) -> int:
+    """Sublane-aligned row stride per register-file slot."""
+    return -(-L // 8) * 8
+
+
+def chain_seg_regs(fp_or_fc, ladder: str) -> int:
+    """Number of register-file slots the segmented chain needs (the carried
+    set for this field's chain at this ladder's segment size)."""
+    ops = fp_or_fc.chain_ops if hasattr(fp_or_fc, "chain_ops") else _load_chain(fp_or_fc.name)
+    seg_size = chain_seg_size(ladder)
+    segs = [ops[i : i + seg_size] for i in range(0, len(ops), seg_size)]
+    carried = {ops[-1][1]}
+    for seg in segs:
+        defined = set()
+        for op in seg:
+            for src in op[2:]:
+                if src not in defined:
+                    carried.add(src)
+            defined.add(op[1])
+    return len(carried)
+
+
 def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """x^(1/alpha) via fixed 4-bit windows over the static exponent.
 
@@ -899,6 +1039,8 @@ def exp_inv_alpha(x, fc: FieldConsts, *, unroll: bool = False):
     """
     if fc.ladder == "sw4":
         return exp_inv_alpha_sw(x, fc, unroll=unroll)
+    if fc.ladder.startswith("chainseg"):
+        return exp_inv_alpha_chain_seg(x, fc, seg_size=chain_seg_size(fc.ladder))
     if fc.ladder.startswith("chain"):
         return exp_inv_alpha_chain(x, fc, streams=chain_streams(fc.ladder))
     # table[k] = x^k in Montgomery form, k = 0..15; the whole ladder runs in
