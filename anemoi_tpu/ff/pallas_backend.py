@@ -58,11 +58,13 @@ def default_block_b(inst: InstanceParams, mul_impl: str | None = None) -> int:
     384>512>768; bls12_377 2_1 640~512>768; 4_3 256>384>512) and DEGRADE
     past that (VPU-issue-bound).  The mxu path instead improves with block
     size (the K=2L int8 matmuls amortize their systolic pad with lane
-    count): r3 sweep on vesta 2_1: 3072 (196.5k/s) > 2048 (195.5k) > 1536
-    > 1024 > 768; 4096 fails Mosaic compile (scoped-VMEM OOM)."""
+    count).  r4 sweep under the lifted scoped-VMEM cap (the r3 "4096
+    OOM" was Mosaic's 16MB default budget, not hardware): vesta 2_1
+    4096 (199.8k/s) > 6144 (199.6k) > 3072 (196.5k) > 2048 (195.5k);
+    bls12_377 2_1 2048 (81.8k) > 1536 (81.1k) > 1024 (77.5k)."""
     impl = mul_impl or default_mul_impl(inst)
     if impl.startswith("mxu"):
-        target = 3072 if inst.field.n_limbs <= 20 else 1024
+        target = 4096 if inst.field.n_limbs <= 20 else 2048
     else:
         target = 768 if inst.field.n_limbs <= 20 else 512
     return max(128, target // inst.columns)
@@ -76,6 +78,14 @@ def default_ladder(inst: InstanceParams) -> str:
     unless the chain measurement wins there too (the 448-op straight-line
     unroll inflates Mosaic compile time at L=30)."""
     return "chain" if inst.field.n_limbs <= 20 else "sw4"
+
+
+def _seg_rows(fc: FieldConsts) -> int:
+    """VMEM register-file rows for the segmented chain ladder: one
+    sublane-aligned slot per carried register."""
+    from .limb_ops import chain_seg_regs, chain_seg_stride
+
+    return chain_seg_regs(fc, fc.ladder) * chain_seg_stride(fc.n_limbs)
 
 
 def _sos_rows(fc: FieldConsts) -> int:
@@ -92,13 +102,16 @@ def _sos_rows(fc: FieldConsts) -> int:
 # physical VMEM -- and it, not the hardware, was what stopped the r3 block
 # sweep at 3072 ("4096 VMEM-OOM": the allocator exceeded 16.00M by kilobytes).
 # Raising the cap lets bigger batch tiles amortize the int8 matmul dispatches.
-VMEM_LIMIT_BYTES = int(os.environ.get("ANEMOI_VMEM_LIMIT", 100 * 1024 * 1024))
+VMEM_LIMIT_DEFAULT = 100 * 1024 * 1024
 
 
 def _compiler_params(interpret: bool):
     if interpret:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+    # env read at kernel-build time, not module import, so a harness that
+    # imports early can still set it (ADVICE r3)
+    limit = int(os.environ.get("ANEMOI_VMEM_LIMIT", VMEM_LIMIT_DEFAULT))
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _table_stride(L: int) -> int:
@@ -138,6 +151,11 @@ def _exp_inv_alpha_sw_kernel(x, fc: FieldConsts, sched_ref, table_ref):
 
 def _exp_inv_alpha_kernel(x, fc: FieldConsts, digits_ref, table_ref):
     """x^(1/alpha) inside a kernel: table in VMEM scratch, digit loop."""
+    if fc.ladder.startswith("chainseg"):
+        # segmented straight-line schedule: bounded Mosaic compile time
+        return lo.exp_inv_alpha_chain_seg(
+            x, fc, seg_size=lo.chain_seg_size(fc.ladder)
+        )
     if fc.ladder.startswith("chain"):
         # straight-line register schedule; no table, no dynamic slicing
         return lo.exp_inv_alpha_chain(x, fc, streams=lo.chain_streams(fc.ladder))
@@ -335,15 +353,19 @@ def permutation_pallas(
     mxu_ops_arrays = _mxu_arrays(fc)
     n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
     with_sos = fc.mul_impl in ("mxu2", "mxu3")
+    with_seg = fc.ladder.startswith("chainseg")
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
         sos_ref = rest.pop() if with_sos else None
+        seg_ref = rest.pop() if with_seg else None
         mxu_refs = rest[:n_mxu] if n_mxu else None
         in_ref, out_ref, table_ref = rest[n_mxu:]
         kfc = _kernel_fc(fc, fconst_ref, mxu_refs)
         if sos_ref is not None:
             kfc = kfc._replace(sos_scratch=sos_ref)
+        if seg_ref is not None:
+            kfc = kfc._replace(seg_scratch=seg_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         parts = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for w in range(width):
@@ -379,12 +401,197 @@ def permutation_pallas(
             out_shape=jax.ShapeDtypeStruct((width * L, n_pad), jnp.int32),
             scratch_shapes=(
                 [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((_seg_rows(fc), inst.columns * block_b), jnp.int32)]
+                   if with_seg else [])
                 + ([pltpu.VMEM((_sos_rows(fc), inst.columns * block_b), jnp.int32)]
                    if with_sos else [])
             ),
             interpret=interpret,
             compiler_params=_compiler_params(interpret),
         )(*operands)
+        return out if n_pad == n else out[:, :n]
+
+    return run
+
+
+@lru_cache(maxsize=64)
+def sponge_pallas(
+    inst: InstanceParams,
+    num_elements: int,
+    block_b: int | None = None,
+    interpret: bool = False,
+    mul_impl: str | None = DEFAULT_MUL_IMPL,
+    ladder: str | None = DEFAULT_LADDER,
+):
+    """Fused fixed-length sponge: int32[E*L, N] -> int32[DIGEST*L, N].
+
+    The whole absorb loop runs inside ONE Pallas dispatch (VERDICT r3 item
+    7): the sponge state lives in a VMEM scratch that persists across the
+    sequential TPU grid, message rate-blocks stream in via the grid's inner
+    axis (Pallas double-buffers the next chunk's DMA behind the current
+    permutation), and the digest is written once at the final step.  This
+    replaces the lax.scan composition in modes/batched.py, which issued one
+    kernel dispatch per rate-block (~110 for a 10KB message) and
+    round-tripped the full state through HBM between dispatches.
+
+    Semantics: absorb each rate-block into the rate rows then permute; after
+    the last full block, absorb the tail elements and the sigma 1, permute
+    once more iff the tail is non-empty, digest = state[:DIGEST]
+    (reference src/<field>/anemoi_*/hasher.rs:92-128; golden.sponge_hash is
+    the oracle).  The tail/sigma absorb is folded into one extra grid step
+    guarded by pl.when, so the kernel contains a single permutation body
+    regardless of message length.  Requires num_elements >= rate (callers
+    fall back to the scan path below that)."""
+    mul_impl = mul_impl or default_mul_impl(inst)
+    block_b = block_b or default_block_b(inst, mul_impl)
+    ladder = ladder or default_ladder(inst)
+    fc = field_consts(inst.field, mul_impl, ladder)
+    L = fc.n_limbs
+    width, rate, ds = inst.width, inst.rate, inst.digest_size
+    E = num_elements
+    full_blocks = E // rate
+    tail = E % rate
+    assert full_blocks >= 1, "sponge_pallas needs at least one full rate block"
+    n_steps = full_blocks + (1 if tail else 0)
+    # Mosaic requires row-block sizes divisible by 8: each rate-block's
+    # rate*L rows are padded to an aligned stride host-side (run() below)
+    RS = -(-rate * L // 8) * 8
+    TS = -(-max(tail, 1) * L // 8) * 8
+    OS = -(-ds * L // 8) * 8  # output rows, same alignment rule
+    cd = _cd_operand(inst)
+    digits = _digits_operand(fc)
+    fconst = _fconst_operand(fc)
+
+    mxu_ops_arrays = _mxu_arrays(fc)
+    n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
+    with_sos = fc.mul_impl in ("mxu2", "mxu3")
+    with_seg = fc.ladder.startswith("chainseg")
+
+    def kernel(fconst_ref, cd_ref, digits_ref, *rest):
+        rest = list(rest)
+        sos_ref = rest.pop() if with_sos else None
+        seg_ref = rest.pop() if with_seg else None
+        state_ref = rest.pop()
+        table_ref = rest.pop()
+        mxu_refs = rest[:n_mxu] if n_mxu else None
+        msg_ref, tail_ref, out_ref = rest[n_mxu:]
+        kfc = _kernel_fc(fc, fconst_ref, mxu_refs)
+        if sos_ref is not None:
+            kfc = kfc._replace(sos_scratch=sos_ref)
+        if seg_ref is not None:
+            kfc = kfc._replace(seg_scratch=seg_ref)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            state_ref[...] = jnp.zeros_like(state_ref)
+
+        @pl.when(j < full_blocks)
+        def _absorb():
+            for i in range(rate):
+                state_ref[i * L : (i + 1) * L, :] = lo.add_mod(
+                    state_ref[i * L : (i + 1) * L, :],
+                    msg_ref[i * L : (i + 1) * L, :], kfc,
+                )
+
+        if tail:
+            one = jnp.broadcast_to(
+                jnp.asarray(kfc.one_mont, dtype=jnp.int32)[:, None],
+                (L, state_ref.shape[1]),
+            )
+
+            @pl.when(j == full_blocks)
+            def _absorb_tail():
+                for i in range(tail):
+                    state_ref[i * L : (i + 1) * L, :] = lo.add_mod(
+                        state_ref[i * L : (i + 1) * L, :],
+                        tail_ref[i * L : (i + 1) * L, :], kfc,
+                    )
+                state_ref[tail * L : (tail + 1) * L, :] = lo.add_mod(
+                    state_ref[tail * L : (tail + 1) * L, :], one, kfc
+                )
+
+        parts = [state_ref[w * L : (w + 1) * L, :] for w in range(width)]
+        parts = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
+        for w in range(width):
+            state_ref[w * L : (w + 1) * L, :] = parts[w]
+
+        @pl.when(j == n_steps - 1)
+        def _digest():
+            # sigma_one (tail == 0): the reference adds sigma to the last
+            # capacity element AFTER the final permutation; it never reaches
+            # the digest rows, so no state update is needed here.
+            out_ref[...] = jnp.zeros_like(out_ref)  # the OS-alignment pad rows
+            for i in range(ds):
+                out_ref[i * L : (i + 1) * L, :] = parts[i]
+
+    @jax.jit
+    def run(elems):
+        # elems: (E*L, N) int32, element-major (elems.reshape from (E, L, N))
+        n = elems.shape[1]
+        n_pad = -(-n // block_b) * block_b
+        if n_pad != n:
+            elems = jnp.pad(elems, ((0, 0), (0, n_pad - n)))
+        main = elems[: full_blocks * rate * L]
+        if RS != rate * L:
+            main = jnp.pad(
+                main.reshape(full_blocks, rate * L, n_pad),
+                ((0, 0), (0, RS - rate * L), (0, 0)),
+            ).reshape(full_blocks * RS, n_pad)
+        if tail:
+            tail_rows = elems[full_blocks * rate * L :]
+            if TS != tail * L:
+                tail_rows = jnp.pad(
+                    tail_rows, ((0, TS - tail * L), (0, 0))
+                )
+        else:
+            tail_rows = jnp.zeros((TS, n_pad), jnp.int32)
+        in_specs = [
+            pl.BlockSpec((_FCONST_ROWS, L), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cd.shape[0], cd.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        operands = [jnp.asarray(fconst), jnp.asarray(cd), jnp.asarray(digits)]
+        if mxu_ops_arrays is not None:
+            for w in mxu_ops_arrays:
+                in_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                operands.append(jnp.asarray(w))
+        in_specs.append(pl.BlockSpec(
+            (RS, block_b),
+            # clamp: the tail/sigma step re-fetches the last full block
+            # (harmless; its absorb is pl.when-gated off)
+            lambda i, j: (jnp.minimum(j, full_blocks - 1), i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(main)
+        in_specs.append(pl.BlockSpec(
+            (TS, block_b), lambda i, j: (0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(tail_rows)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_pad // block_b, n_steps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((OS, block_b), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((OS, n_pad), jnp.int32),
+            scratch_shapes=(
+                [pltpu.VMEM((_table_entries(fc) * _table_stride(L),
+                             inst.columns * block_b), jnp.int32),
+                 pltpu.VMEM((width * L, block_b), jnp.int32)]
+                + ([pltpu.VMEM((_seg_rows(fc), inst.columns * block_b),
+                               jnp.int32)] if with_seg else [])
+                + ([pltpu.VMEM((_sos_rows(fc), inst.columns * block_b),
+                               jnp.int32)] if with_sos else [])
+            ),
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(*operands)
+        out = out[: ds * L]
         return out if n_pad == n else out[:, :n]
 
     return run
@@ -419,15 +626,19 @@ def jive_pallas(
     mxu_ops_arrays = _mxu_arrays(fc)
     n_mxu = len(mxu_ops_arrays) if mxu_ops_arrays else 0
     with_sos = fc.mul_impl in ("mxu2", "mxu3")
+    with_seg = fc.ladder.startswith("chainseg")
 
     def kernel(fconst_ref, cd_ref, digits_ref, *rest):
         rest = list(rest)
         sos_ref = rest.pop() if with_sos else None
+        seg_ref = rest.pop() if with_seg else None
         mxu_refs = rest[:n_mxu] if n_mxu else None
         in_ref, out_ref, table_ref = rest[n_mxu:]
         kfc = _kernel_fc(fc, fconst_ref, mxu_refs)
         if sos_ref is not None:
             kfc = kfc._replace(sos_scratch=sos_ref)
+        if seg_ref is not None:
+            kfc = kfc._replace(seg_scratch=seg_ref)
         parts = [in_ref[w * L : (w + 1) * L, :] for w in range(width)]
         post = _permutation_body(parts, inst, kfc, cd_ref, digits_ref, table_ref)
         for i in range(c):
@@ -467,6 +678,8 @@ def jive_pallas(
             out_shape=jax.ShapeDtypeStruct((c * L, n_pad), jnp.int32),
             scratch_shapes=(
                 [pltpu.VMEM((_table_entries(fc) * _table_stride(L), inst.columns * block_b), jnp.int32)]
+                + ([pltpu.VMEM((_seg_rows(fc), inst.columns * block_b), jnp.int32)]
+                   if with_seg else [])
                 + ([pltpu.VMEM((_sos_rows(fc), inst.columns * block_b), jnp.int32)]
                    if with_sos else [])
             ),

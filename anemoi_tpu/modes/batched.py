@@ -107,6 +107,19 @@ def sponge_hash_batch_fn(
     """
     fc = field_consts(inst.field)
     L = inst.field.n_limbs
+    if backend == "pallas" and num_elements >= inst.rate:
+        # fused kernel: the whole absorb loop in one dispatch, state resident
+        # in VMEM across rate-blocks (pallas_backend.sponge_pallas)
+        from ..ff.pallas_backend import sponge_pallas
+
+        kern = sponge_pallas(inst, num_elements, block_b=block_b)
+        ds = inst.digest_size
+
+        def hash_fused(elems):  # (E, L, B)
+            B = elems.shape[-1]
+            return kern(elems.reshape(-1, B)).reshape(ds, L, B)
+
+        return hash_fused
     if backend == "pallas":
         from ..ff.pallas_backend import permutation_pallas
 

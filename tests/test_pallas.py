@@ -72,6 +72,8 @@ def test_pallas_permutation_and_jive(field, iname):
         ("bls12_381", "anemoi_2_1", "mxu3", "sw4"),
         # stream-fused block-diagonal matmuls (K = 3*2L contraction)
         ("vesta", "anemoi_2_1", "mxu", "chain3"),
+        # fori-segmented chain: switch branches + carried registers (r4)
+        ("vesta", "anemoi_2_1", "mxu", "chainseg64"),
     ],
 )
 def test_pallas_matrix(field, iname, mul_impl, ladder):
@@ -93,6 +95,37 @@ def test_pallas_matrix(field, iname, mul_impl, ladder):
     outj = np.asarray(runj(flat)).reshape(inst.width // 2, -1, B)
     got = bm.decode_states(inst, outj)
     assert got == [golden.jive_compress(inst, s) for s in states]
+
+
+@pytest.mark.parametrize(
+    "field,iname,E",
+    [
+        # rate 3: full blocks + tail -> the extra tail/sigma grid step
+        ("vesta", "anemoi_4_3", 7),
+        # rate 3, exact multiple -> sigma_one path (no finalize permute)
+        ("vesta", "anemoi_4_3", 6),
+        # rate 1: every element is its own block
+        ("vesta", "anemoi_2_1", 3),
+    ],
+)
+def test_pallas_sponge_fused(field, iname, E):
+    """Fused sponge kernel (one dispatch, state in VMEM across rate-blocks)
+    vs the golden scalar oracle (VERDICT r3 item 7)."""
+    from anemoi_tpu.ff import pallas_backend as pb
+
+    inst = get_instance(field, iname)
+    B = 16
+    rng = np.random.default_rng(11)
+    msgs = [[int(rng.integers(0, 2**62)) for _ in range(E)] for _ in range(B)]
+    arr = np.stack(
+        [bm.lo.encode_ints([m[e] for m in msgs], inst.field) for e in range(E)]
+    )  # (E, L, B)
+    run = pb.sponge_pallas(inst, E, block_b=B, interpret=INTERPRET)
+    out = np.asarray(run(arr.reshape(-1, B))).reshape(
+        inst.digest_size, -1, B
+    )
+    got = bm.decode_states(inst, out)
+    assert got == [golden.hash_field(inst, m) for m in msgs]
 
 
 def test_pallas_batch_padding():
