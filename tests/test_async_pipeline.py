@@ -9,7 +9,11 @@ from anemoi_tpu.modes.batched import digests_to_bytes
 
 
 def test_async_pipeline_matches_golden():
-    inst = get_instance("vesta", "anemoi_4_3")
+    # 2_1: the narrowest instantiation (width 2) -- the pipeline logic under
+    # test is instance-agnostic and the 4_3 shape costs ~2x the trace+lower
+    # time (suite budget, VERDICT r3 item 5); 4_3 byte hashing is pinned by
+    # test_bytes_pipeline
+    inst = get_instance("vesta", "anemoi_2_1")
     rng = np.random.default_rng(9)
     batches = [
         [rng.bytes(70) for _ in range(3)],  # 3 elements per message

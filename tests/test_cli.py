@@ -23,12 +23,15 @@ def test_cli_hash_mixed_files_jit_matches_golden(tmp_path, capsys):
         f = tmp_path / f"m{i}.bin"
         f.write_bytes(bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tolist()))
         files.append(str(f))
+    # 2_1: the dispatcher logic under test is instance-agnostic and the
+    # 4_3 sponge graph costs ~2x the trace+lower time (suite budget);
+    # 4_3 byte hashing is pinned by test_bytes_pipeline
     out = _run_cli(
         capsys,
-        ["hash", "--field", "vesta", "--instance", "anemoi_4_3",
+        ["hash", "--field", "vesta", "--instance", "anemoi_2_1",
          "--backend", "jit"] + files,
     )
-    inst = get_instance("vesta", "anemoi_4_3")
+    inst = get_instance("vesta", "anemoi_2_1")
     want = [
         golden.digest_to_bytes(
             inst, golden.hash_bytes(inst, open(f, "rb").read())

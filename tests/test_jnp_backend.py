@@ -23,13 +23,20 @@ DEFAULT = [
     ("vesta", "anemoi_4_3"),
     ("bls12_381", "anemoi_2_1"),
 ]
+# Bare-permutation parity: one instantiation by default.  The jive vector
+# tests run the same permutation plus the feed-forward against the ported
+# SAGE vectors for every DEFAULT shape, so the extra bare-permutation
+# sweeps only add trace+lower time (~2 min each, VERDICT r3 item 5);
+# ANEMOI_FULL_PARITY restores the full matrix.
+PERM_DEFAULT = [("vesta", "anemoi_2_1")]
 if os.environ.get("ANEMOI_FULL_PARITY"):
     from anemoi_tpu.fields.params import FIELD_NAMES, INSTANCE_NAMES
 
     DEFAULT = [(f, i) for f in FIELD_NAMES for i in INSTANCE_NAMES]
+    PERM_DEFAULT = DEFAULT
 
 
-@pytest.mark.parametrize("field,iname", DEFAULT)
+@pytest.mark.parametrize("field,iname", PERM_DEFAULT)
 def test_permutation_batch_vs_golden(field, iname):
     inst = instance(field, iname)
     p = inst.params

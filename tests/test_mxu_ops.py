@@ -79,6 +79,11 @@ def test_mxu_multi_stream_fused(streams):
         assert lo.decode_ints(np.asarray(lo.canonicalize(z, fc)), fp) == e
 
 
+@pytest.mark.skipif(
+    not os.environ.get("ANEMOI_FULL_PARITY"),
+    reason="chain3 is a measured-and-rejected experimental path; its "
+    "~90 s trace rides the CI full-parity job (suite budget)",
+)
 def test_chain3_ladder_matches_golden():
     """exp_inv_alpha with ladder=chain3 + mul_impl=mxu (fused multi-stream)
     equals pow(x, 1/alpha, p)."""

@@ -11,11 +11,15 @@ from anemoi_tpu.fields.params import get_instance
 from anemoi_tpu.modes import batched as bm
 from anemoi_tpu.modes.streaming import BatchedSponge
 
-# (6,[3,3]): multi-chunk absorb, sigma=1; (4,[3]): tail + sigma=0.
-# (7,[6]) adds a same-shape tail variant: CI sweep only (compile cost).
-_CASES = [(6, [3, 3]), (4, [3])]
+# (6,[3,3]): multi-chunk absorb, sigma=1 -- the streaming-specific path,
+# always on.  (4,[3]) (tail + sigma=0 finalize) and (7,[6]) (same-shape
+# tail variant) ride the ANEMOI_FULL_PARITY sweep: the finalize path is
+# also pinned by the batched-sponge vector tests, and each case is a
+# fresh ~2 min trace+lower of a distinct absorb graph (suite budget,
+# VERDICT r3 item 5).
+_CASES = [(6, [3, 3])]
 if os.environ.get("ANEMOI_FULL_PARITY"):
-    _CASES.append((7, [6]))
+    _CASES += [(4, [3]), (7, [6])]
 
 
 @pytest.mark.parametrize("total_len,chunks", _CASES)
