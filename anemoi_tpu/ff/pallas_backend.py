@@ -109,9 +109,18 @@ def _compiler_params(interpret: bool):
     if interpret:
         return None
     # env read at kernel-build time, not module import, so a harness that
-    # imports early can still set it (ADVICE r3)
-    limit = int(os.environ.get("ANEMOI_VMEM_LIMIT", VMEM_LIMIT_DEFAULT))
-    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+    # imports early can still set it (ADVICE r3).  The extra knobs are
+    # Mosaic-scheduling experiment hooks (VERDICT r3 item 2) -- kernels are
+    # lru_cached per config, so flip these only in a fresh process.
+    kw = {"vmem_limit_bytes": int(os.environ.get("ANEMOI_VMEM_LIMIT",
+                                                 VMEM_LIMIT_DEFAULT))}
+    if os.environ.get("ANEMOI_DIMSEM"):
+        kw["dimension_semantics"] = tuple(os.environ["ANEMOI_DIMSEM"].split(","))
+    if os.environ.get("ANEMOI_INTERNAL_SCRATCH"):
+        kw["internal_scratch_in_bytes"] = int(os.environ["ANEMOI_INTERNAL_SCRATCH"])
+    if os.environ.get("ANEMOI_NO_BOUNDS_CHECKS"):
+        kw["disable_bounds_checks"] = True
+    return pltpu.CompilerParams(**kw)
 
 
 def _table_stride(L: int) -> int:
