@@ -165,7 +165,29 @@ def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
     # reference i7-9750H single-core 2-to-1 latencies (reference README.md:77-78)
     ref_us = {("bls12_377", "anemoi_2_1"): 429.61, ("bls12_377", "anemoi_4_3"): 485.99,
               ("vesta", "anemoi_2_1"): 129.48, ("vesta", "anemoi_4_3"): 176.58}
+    dev = jax.devices()[0].device_kind
+
+    def write(rows, partial):
+        lines = [
+            "# Benchmark matrix (generated by `bench.py --matrix`)",
+            "",
+            f"Jive 2-to-1 compressions/sec on one {dev} chip "
+            f"(batch {n}, block {block or 'per-instance default'}, forced sync per rep).",
+            "Reference column: upstream single-core i7-9750H rate where published",
+            "(reference README.md:77-78).",
+        ] + (["", f"PARTIAL RUN: {len(rows)} of "
+              f"{len(FIELD_NAMES) * len(INSTANCE_NAMES)} configs measured."]
+             if partial else []) + [
+            "",
+            "| Field | Instance | hashes/s | vs reference core |",
+            "|---|---|---|---|",
+        ]
+        for field, iname, rate, vs in rows:
+            lines.append(f"| {field} | {iname} | {rate:,.0f} | {vs} |")
+        Path(out_path).write_text("\n".join(lines) + "\n")
+
     rows = []
+    total = len(FIELD_NAMES) * len(INSTANCE_NAMES)
     for field in FIELD_NAMES:
         for iname in INSTANCE_NAMES:
             t0 = time.perf_counter()
@@ -175,21 +197,9 @@ def bench_matrix(n=1 << 18, block=None, reps=2, out_path="docs/BENCHMARKS.md"):
             rows.append((field, iname, rate, vs))
             print(f"[matrix] {field}/{iname}: {rate:,.0f}/s ({vs} vs ref core; "
                   f"{time.perf_counter()-t0:.0f}s)", file=sys.stderr)
-    dev = jax.devices()[0].device_kind
-    lines = [
-        "# Benchmark matrix (generated by `bench.py --matrix`)",
-        "",
-        f"Jive 2-to-1 compressions/sec on one {dev} chip "
-        f"(batch {n}, block {block or 'per-instance default'}, forced sync per rep).",
-        "Reference column: upstream single-core i7-9750H rate where published",
-        "(reference README.md:77-78).",
-        "",
-        "| Field | Instance | hashes/s | vs reference core |",
-        "|---|---|---|---|",
-    ]
-    for field, iname, rate, vs in rows:
-        lines.append(f"| {field} | {iname} | {rate:,.0f} | {vs} |")
-    Path(out_path).write_text("\n".join(lines) + "\n")
+            # rewrite after EVERY config: a timeout mid-matrix (each cold
+            # Mosaic compile is minutes) must not lose the measured rows
+            write(rows, partial=len(rows) < total)
     print(f"[matrix] wrote {out_path}", file=sys.stderr)
     return rows
 
